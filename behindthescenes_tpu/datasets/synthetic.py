@@ -1,0 +1,128 @@
+"""Synthetic in-memory dataset: procedurally rendered box scenes with exact
+analytic depth. Replaces disk loaders in tests and overfit harnesses
+(SURVEY.md §4: the rebuild's substitute for the reference's missing tests).
+
+Scene: a ground plane plus a few colored axis-aligned boxes; cameras translate
+along +x with small rotations. Images are ray-cast on the host with numpy —
+slow but exact, giving ground-truth depth for metric tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticBoxDataset:
+    """Returns the reference data-dict ABI: imgs (v,h,w,3) in [-1,1],
+    projs (v,3,3) NDC, poses (v,4,4) c2w, depths (1,h,w)."""
+    length: int = 16
+    frame_count: int = 2
+    height: int = 48
+    width: int = 64
+    z_near: float = 1.0
+    z_far: float = 40.0
+    return_depth: bool = True
+    seed: int = 0
+
+    def __len__(self):
+        return self.length
+
+    def _scene(self, rng):
+        boxes = []
+        for _ in range(4):
+            cx = rng.uniform(-4, 4)
+            cz = rng.uniform(6, 18)
+            s = rng.uniform(0.8, 2.5)
+            h = rng.uniform(1.0, 3.0)
+            color = rng.uniform(0.2, 1.0, 3)
+            boxes.append((np.array([cx - s, -1.0, cz - s]),
+                          np.array([cx + s, -1.0 + h, cz + s]), color))
+        return boxes
+
+    def _raycast(self, origin, dirs, boxes):
+        """dirs: (h, w, 3) unit. Returns rgb (h,w,3) in [0,1], depth (h,w)."""
+        h, w, _ = dirs.shape
+        t_hit = np.full((h, w), np.inf, dtype=np.float64)
+        rgb = np.zeros((h, w, 3), dtype=np.float64)
+
+        # Ground plane y = -1 (camera looks +z, y down-ish world): plane hit.
+        denom = dirs[..., 1]
+        t_plane = np.where(np.abs(denom) > 1e-8,
+                           (-1.0 - origin[1]) / denom, np.inf)
+        t_plane = np.where(t_plane > 0, t_plane, np.inf)
+        hit = t_plane < t_hit
+        t_safe = np.where(np.isfinite(t_plane), t_plane, 0.0)
+        px = origin[0] + t_safe * dirs[..., 0]
+        pz = origin[2] + t_safe * dirs[..., 2]
+        checker = (np.floor(px) + np.floor(pz)) % 2
+        ground_col = np.where(checker[..., None] > 0.5, 0.75, 0.35)
+        rgb = np.where(hit[..., None], ground_col, rgb)
+        t_hit = np.where(hit, t_plane, t_hit)
+
+        # Boxes: slab method.
+        for lo, hi, color in boxes:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / dirs
+            t0 = (lo[None, None] - origin[None, None]) * inv
+            t1 = (hi[None, None] - origin[None, None]) * inv
+            tmin = np.minimum(t0, t1).max(-1)
+            tmax = np.maximum(t0, t1).min(-1)
+            t_box = np.where((tmax >= tmin) & (tmax > 0),
+                             np.where(tmin > 0, tmin, tmax), np.inf)
+            hit = t_box < t_hit
+            rgb = np.where(hit[..., None], color[None, None], rgb)
+            t_hit = np.where(hit, t_box, t_hit)
+
+        # Sky.
+        rgb = np.where(np.isinf(t_hit)[..., None],
+                       np.array([0.5, 0.7, 0.9])[None, None], rgb)
+        depth_z = np.where(np.isinf(t_hit), 0.0, t_hit * dirs[..., 2])
+        return rgb.astype(np.float32), depth_z.astype(np.float32)
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        boxes = self._scene(rng)
+        h, w = self.height, self.width
+        fx, fy = 1.2, 1.2 * w / h   # NDC focal lengths
+        k = np.array([[fx, 0, 0], [0, fy, 0], [0, 0, 1]], dtype=np.float32)
+
+        xs = np.linspace(-1, 1, w)
+        ys = np.linspace(-1, 1, h)
+        gx, gy = np.meshgrid(xs, ys)
+        dirs_cam = np.stack([gx / fx, gy / fy, np.ones_like(gx)], axis=-1)
+        dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+
+        imgs, poses, projs, depths = [], [], [], []
+        for v in range(self.frame_count):
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = 0.4 * v + rng.normal(0, 0.02)
+            pose[1, 3] = rng.normal(0, 0.01)
+            theta = rng.normal(0, 0.01)
+            pose[:3, :3] = np.array([
+                [np.cos(theta), 0, np.sin(theta)],
+                [0, 1, 0],
+                [-np.sin(theta), 0, np.cos(theta)]], dtype=np.float32)
+            dirs_world = dirs_cam @ pose[:3, :3].T
+            rgb, depth_z = self._raycast(pose[:3, 3], dirs_world, boxes)
+            imgs.append(rgb * 2.0 - 1.0)
+            poses.append(pose)
+            projs.append(k)
+            if v == 0:
+                depths.append(depth_z[None])
+
+        out = {
+            "imgs": np.stack(imgs).astype(np.float32),
+            "poses": np.stack(poses),
+            "projs": np.stack(projs),
+        }
+        if self.return_depth:
+            out["depths"] = np.stack(depths)
+        return out
+
+
+def collate(samples):
+    """Stack a list of sample dicts into a batch dict (leading n dim)."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}

@@ -1,0 +1,353 @@
+"""BTSNet: the pixel-aligned density field.
+
+Capability parity with reference models/bts/model/models_bts.py:17-338,
+re-designed functionally for JAX:
+
+  * `encode(...)` produces an explicit, immutable `FeatureGrid` pytree instead
+    of mutating module state — the grid flows through jit boundaries and can
+    be replicated or sharded over a mesh independently of the parameters.
+  * `query(...)` evaluates the field at world points. It is a pure function of
+    (params, grid, xyz) and is the body of the renderer's hot loop; everything
+    in it (projection, bilinear gather, positional encoding, tiny MLP) fuses
+    under XLA and is also provided as a fused Pallas kernel.
+
+View-selection (ids_encoder / ids_render / combine_ids) is static Python
+metadata — it comes from the frame_sample_mode config, so each mode compiles
+its own specialization (static shapes, no dynamic gathers).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from behindthescenes_tpu import geometry
+from behindthescenes_tpu.models.encoder import make_backbone
+from behindthescenes_tpu.models.mlp import make_mlp
+from behindthescenes_tpu.ops.grid_sample import grid_sample_2d
+from behindthescenes_tpu.ops.posenc import PositionalEncoding
+
+EPS = 1e-3
+
+
+@flax.struct.dataclass
+class FeatureGrid:
+    """Everything `query` needs about the encoded input views.
+
+    Mirrors the grid_f_* / grid_c_* attributes stashed by the reference's
+    `BTSNet.encode` (models_bts.py:128-136), made explicit.
+    """
+    features: Tuple[jnp.ndarray, ...]          # per scale: (n, nv_e, h, w, c)
+    f_ks: jnp.ndarray                          # (n, nv_e, 3, 3)
+    f_poses_w2c: jnp.ndarray                   # (n, nv_e, 4, 4)
+    color_imgs: jnp.ndarray                    # (n, nv_r, h, w, 3) in [0,1]
+    c_ks: jnp.ndarray                          # (n, nv_r, 3, 3)
+    c_poses_w2c: jnp.ndarray                   # (n, nv_r, 4, 4)
+    f_combine: Optional[Tuple[Tuple[int, ...], ...]] = flax.struct.field(
+        pytree_node=False, default=None)
+    c_combine: Optional[Tuple[Tuple[int, ...], ...]] = flax.struct.field(
+        pytree_node=False, default=None)
+
+    @property
+    def n_render_groups(self) -> int:
+        if self.c_combine is not None:
+            return len(self.c_combine)
+        return self.color_imgs.shape[1]
+
+
+def _resolve_combine(combine_ids, n_views, ids_encoder, ids_render):
+    """Compute per-grid combine groups (reference models_bts.py:93-107)."""
+    if combine_ids is None:
+        return None, None
+    # Combine groups need concrete (host-side) id values; waymo-style modes
+    # use static encoder/render ids whenever combining is active.
+    ids_encoder = [int(i) for i in ids_encoder]
+    ids_render = [int(i) for i in ids_render]
+    combine_ids = [list(map(int, g)) for g in combine_ids]
+    covered = set(sum(combine_ids, []))
+    for i in range(n_views):
+        if i not in covered:
+            combine_ids.append([i])
+    remap_e = {v: i for i, v in enumerate(ids_encoder)}
+    remap_r = {v: i for i, v in enumerate(ids_render)}
+    comb_e = tuple(tuple(remap_e[i] for i in g if i in remap_e)
+                   for g in combine_ids)
+    comb_r = tuple(tuple(remap_r[i] for i in g if i in remap_r)
+                   for g in combine_ids)
+    comb_e = tuple(g for g in comb_e if g)
+    comb_r = tuple(g for g in comb_r if g)
+    return comb_e, comb_r
+
+
+def _combine_first_valid(values, invalid, groups):
+    """For each group of views, pick the first valid view's value
+    (reference models_bts.py:190-210: torch.min over bool + gather).
+
+    values: (n, nv, p, d); invalid: (n, nv, p, 1) bool.
+    Returns (n, n_groups, p, d), (n, n_groups, p, 1).
+    """
+    out_v, out_i = [], []
+    for group in groups:
+        g = list(group)
+        inv_g = invalid[:, g]                       # (n, len(g), p, 1)
+        val_g = values[:, g]
+        idx = jnp.argmin(inv_g.astype(jnp.int32), axis=1, keepdims=True)
+        inv_pick = jnp.take_along_axis(inv_g, idx, axis=1)
+        val_pick = jnp.take_along_axis(
+            val_g, jnp.broadcast_to(idx, idx.shape[:-1] + (val_g.shape[-1],)),
+            axis=1)
+        out_v.append(val_pick)
+        out_i.append(inv_pick)
+    return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
+
+
+def _nearest_resize(x, h, w):
+    """Nearest-neighbor resize on NHWC batches (torch F.interpolate
+    mode='nearest' semantics: index = floor(i * scale))."""
+    n, h0, w0, c = x.shape
+    if (h0, w0) == (h, w):
+        return x
+    ys = (jnp.arange(h) * (h0 / h)).astype(jnp.int32)
+    xs = (jnp.arange(w) * (w0 / w)).astype(jnp.int32)
+    return x[:, ys][:, :, xs]
+
+
+class BTSNet(nn.Module):
+    """Density-field model (reference models_bts.py:17-338).
+
+    Config mirrors the reference's `model_conf` block
+    (configs/exp_kitti_raw.yaml:23-66).
+    """
+    z_near: float
+    z_far: float
+    encoder_conf: Any
+    code_conf: Any
+    mlp_coarse_conf: Any
+    mlp_fine_conf: Any = None
+    learn_empty: bool = True
+    empty_empty: bool = False
+    inv_z: bool = True
+    color_interpolation: str = "bilinear"
+    code_mode: str = "z"
+    sample_color: bool = True
+    return_sample_depth: bool = False
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.code_mode not in ("z", "distance"):
+            raise NotImplementedError(self.code_mode)
+        self.encoder = make_backbone(dict(self.encoder_conf),
+                                     compute_dtype=self.compute_dtype)
+        self.code_xyz = PositionalEncoding.from_conf(dict(self.code_conf),
+                                                     d_in=3)
+        d_out = 1 if self.sample_color else 4
+        self.mlp_coarse = make_mlp(dict(self.mlp_coarse_conf), d_out=d_out)
+        fine_conf = dict(self.mlp_fine_conf) if self.mlp_fine_conf else \
+            {"type": "empty"}
+        self.mlp_fine = make_mlp(fine_conf, d_out=d_out, allow_empty=True)
+        if self.learn_empty:
+            self.empty_feature = self.param(
+                "empty_feature", nn.initializers.normal(1.0),
+                (self.encoder.latent_size,))
+
+    @property
+    def d_in(self) -> int:
+        return self.encoder.latent_size + self.code_xyz.d_out
+
+    def __call__(self, images, ks, poses_c2w, xyz):
+        """Init-shim: encode then query (for parameter initialization)."""
+        grid = self.encode(images, ks, poses_c2w)
+        return self.query(grid, xyz)
+
+    # ------------------------------------------------------------------ encode
+    def encode(self, images, ks, poses_c2w, ids_encoder=None, ids_render=None,
+               images_alt=None, combine_ids=None, do_flip=False,
+               train: bool = False) -> FeatureGrid:
+        """Run the CNN over selected views and build the feature grid.
+
+        Args:
+          images: (n, v, h, w, 3) in [-1, 1].
+          ks: (n, v, 3, 3) NDC intrinsics.
+          poses_c2w: (n, v, 4, 4).
+          ids_encoder / ids_render: static lists of view indices (or None=all).
+          images_alt: optional substitute color images (already in [0, 1]).
+          combine_ids: static groups of view ids to combine.
+          do_flip: traced bool — horizontal flip augmentation of the latent
+            (reference models_bts.py:112-123).
+        """
+        n, v, h, w, _ = images.shape
+        poses_w2c = geometry.invert_pose(poses_c2w)
+
+        if ids_encoder is None:
+            ids_encoder = list(range(v))
+        if ids_render is None:
+            ids_render = list(range(v))
+        # ids may be static Python lists or traced int arrays (so the random
+        # per-step view permutation does not trigger recompilation).
+        if not hasattr(ids_encoder, "shape"):
+            ids_encoder = jnp.asarray(list(ids_encoder), dtype=jnp.int32)
+        if not hasattr(ids_render, "shape"):
+            ids_render = jnp.asarray(list(ids_render), dtype=jnp.int32)
+
+        images_encoder = images[:, ids_encoder]
+        ks_encoder = ks[:, ids_encoder]
+        poses_w2c_encoder = poses_w2c[:, ids_encoder]
+
+        images_color = images_alt if images_alt is not None \
+            else images * 0.5 + 0.5
+        images_render = images_color[:, ids_render]
+        ks_render = ks[:, ids_render]
+        poses_w2c_render = poses_w2c[:, ids_render]
+
+        comb_e, comb_r = _resolve_combine(combine_ids, v, ids_encoder,
+                                          ids_render)
+
+        nv = len(ids_encoder)
+        do_flip = jnp.asarray(do_flip)
+        imgs = jnp.where(do_flip, images_encoder[:, :, :, ::-1, :],
+                         images_encoder)
+        latents = self.encoder(imgs.reshape(n * nv, h, w, 3), train=train)
+        latents = [jnp.where(do_flip, l[:, :, ::-1, :], l) for l in latents]
+
+        h0, w0 = latents[0].shape[1:3]
+        c_l = self.encoder.latent_size
+        feats = tuple(
+            _nearest_resize(l, h0, w0).reshape(n, nv, h0, w0, c_l)
+            for l in latents)
+
+        return FeatureGrid(
+            features=feats, f_ks=ks_encoder, f_poses_w2c=poses_w2c_encoder,
+            color_imgs=images_render, c_ks=ks_render,
+            c_poses_w2c=poses_w2c_render, f_combine=comb_e, c_combine=comb_r)
+
+    # ----------------------------------------------------------------- queries
+    def sample_features(self, grid: FeatureGrid, xyz, scale: int = 0,
+                        use_single_featuremap: bool = True):
+        """Pixel-aligned feature lookup + positional code
+        (reference models_bts.py:138-216).
+
+        xyz: (n, p, 3) world points.
+        Returns (features (n, [nv,] p, c + d_code), invalid (n, [nv,] p, 1)).
+        """
+        feature_map = grid.features[scale]
+        n, nv, h, w, c = feature_map.shape
+
+        xy, z, distance, invalid = geometry.project_points(
+            xyz, grid.f_poses_w2c, grid.f_ks, eps=EPS)
+
+        if self.code_mode == "z":
+            coord = z
+        else:
+            coord = distance
+        if self.inv_z:
+            coord = ((1.0 / jnp.maximum(coord, EPS) - 1.0 / self.z_far)
+                     / (1.0 / self.z_near - 1.0 / self.z_far))
+        else:
+            coord = (coord - self.z_near) / (self.z_far - self.z_near)
+        coord = 2.0 * coord - 1.0
+        xyz_code = self.code_xyz(jnp.concatenate([xy, coord], axis=-1))
+
+        sampled = grid_sample_2d(feature_map, xy, align_corners=False,
+                                 padding_mode="border")  # (n, nv, p, c)
+        if self.learn_empty:
+            empty = jnp.broadcast_to(self.empty_feature, sampled.shape)
+            sampled = jnp.where(invalid, empty, sampled)
+
+        sampled = jnp.concatenate([sampled, xyz_code], axis=-1)
+
+        if grid.f_combine is not None:
+            sampled, invalid = _combine_first_valid(sampled, invalid,
+                                                    grid.f_combine)
+        if use_single_featuremap:
+            sampled = jnp.mean(sampled, axis=1)
+            invalid = jnp.any(invalid, axis=1)
+        return sampled, invalid
+
+    def sample_colors(self, grid: FeatureGrid, xyz):
+        """Re-sample color from render views (reference models_bts.py:218-264).
+
+        Returns (colors (n, nv, p, 3[+1]), invalid (n, nv, p, 1)).
+        """
+        xy, z, distance, invalid = geometry.project_points(
+            xyz, grid.c_poses_w2c, grid.c_ks, eps=EPS)
+        colors = grid_sample_2d(grid.color_imgs, xy, align_corners=False,
+                                padding_mode="border",
+                                mode=self.color_interpolation)
+        if grid.c_combine is not None:
+            colors, invalid = _combine_first_valid(colors, invalid,
+                                                   grid.c_combine)
+        if self.return_sample_depth:
+            colors = jnp.concatenate([colors, distance], axis=-1)
+        return colors, invalid
+
+    def query(self, grid: FeatureGrid, xyz, coarse: bool = True,
+              only_density: bool = False, scale: int = 0):
+        """Evaluate the field at world points
+        (reference models_bts.py:266-338).
+
+        xyz: (n, p, 3).
+        Returns rgb (n, p, nv*3), invalid (n, p, nv) float, sigma (n, p, 1).
+        """
+        n, n_pts, _ = xyz.shape
+        feats, invalid_features = self.sample_features(
+            grid, xyz, scale=scale, use_single_featuremap=not only_density)
+
+        if only_density and feats.ndim == 4:
+            # Density grid queries run with a single (possibly combined)
+            # encoder view; fold it away statically.
+            assert feats.shape[1] == 1, \
+                "only_density requires a single encoder view/group"
+            feats = feats[:, 0]
+            invalid_features = invalid_features[:, 0]
+
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) \
+            else self.mlp_fine
+        mlp_output = mlp(feats, combine_inner_dims=(n_pts,))
+
+        if self.sample_color:
+            sigma = nn.softplus(mlp_output[..., :1])
+        else:
+            sigma = nn.relu(mlp_output[..., :1])
+
+        if self.empty_empty:
+            sigma = jnp.where(invalid_features, 0.0, sigma)
+
+        if only_density:
+            nv = grid.n_render_groups
+            rgb = jnp.zeros((n, n_pts, nv * 3), dtype=sigma.dtype)
+            invalid = invalid_features.astype(sigma.dtype)
+            return rgb, invalid, sigma
+
+        if self.sample_color:
+            rgb, invalid_colors = self.sample_colors(grid, xyz)  # (n,nv,p,c)
+        else:
+            rgb = nn.sigmoid(mlp_output[..., 1:4])[:, None]       # (n,1,p,3)
+            invalid_colors = invalid_features[:, None]
+        nv, cc = rgb.shape[1], rgb.shape[-1]
+        rgb = jnp.swapaxes(rgb, 1, 2).reshape(n, n_pts, nv * cc)
+        invalid_colors = jnp.swapaxes(invalid_colors, 1, 2).reshape(
+            n, n_pts, nv)
+        invalid = invalid_colors | invalid_features
+        return rgb, invalid.astype(rgb.dtype), sigma
+
+    @classmethod
+    def from_conf(cls, conf: dict, compute_dtype=jnp.float32) -> "BTSNet":
+        return cls(
+            z_near=conf["z_near"],
+            z_far=conf["z_far"],
+            encoder_conf=dict(conf["encoder"]),
+            code_conf=dict(conf.get("code", {})),
+            mlp_coarse_conf=dict(conf["mlp_coarse"]),
+            mlp_fine_conf=dict(conf.get("mlp_fine", {"type": "empty"})),
+            learn_empty=conf.get("learn_empty", True),
+            empty_empty=conf.get("empty_empty", False),
+            inv_z=conf.get("inv_z", True),
+            color_interpolation=conf.get("color_interpolation", "bilinear"),
+            code_mode=conf.get("code_mode", "z"),
+            sample_color=conf.get("sample_color", True),
+            return_sample_depth=conf.get("return_sample_depth", False),
+            compute_dtype=compute_dtype,
+        )

@@ -1,0 +1,159 @@
+"""Field MLPs: ResnetFC (default) and ImplicitNet (IGR-style alternative).
+
+Capability parity with reference models/common/model/resnetfc.py:10-198 and
+mlp.py:1-137, re-built as Flax modules. The MLP is tiny (d_hidden=64,
+n_blocks=0 in the shipped KITTI configs) — on TPU it runs as a couple of
+batched matmuls that XLA (or the fused Pallas ray-march kernel) keeps in VMEM.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def combine_interleaved(t: jnp.ndarray, inner_dims: Sequence[int] = (1,),
+                        agg_type: str = "average") -> jnp.ndarray:
+    """Multiview reduction used by pixelNeRF-style combining
+    (reference util.py:458-468)."""
+    if len(inner_dims) == 1 and inner_dims[0] == 1:
+        return t
+    t = t.reshape((-1,) + tuple(inner_dims) + t.shape[1:])
+    if agg_type == "average":
+        return jnp.mean(t, axis=1)
+    if agg_type == "max":
+        return jnp.max(t, axis=1)
+    raise NotImplementedError(f"Unsupported combine type {agg_type}")
+
+
+class ResnetBlockFC(nn.Module):
+    """Fully-connected ResNet block (reference resnetfc.py:10-62).
+
+    fc_1 is zero-initialized so the block starts as identity.
+    """
+    size_out: int | None = None
+    size_h: int | None = None
+    beta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        size_in = x.shape[-1]
+        size_out = self.size_out or size_in
+        size_h = self.size_h or min(size_in, size_out)
+        act = (lambda v: nn.softplus(self.beta * v) / self.beta) \
+            if self.beta > 0 else nn.relu
+        net = nn.Dense(size_h, kernel_init=_kaiming, name="fc_0")(act(x))
+        dx = nn.Dense(size_out, kernel_init=nn.initializers.zeros,
+                      name="fc_1")(act(net))
+        if size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(size_out, use_bias=False, kernel_init=_kaiming,
+                           name="shortcut")(x)
+        return x_s + dx
+
+
+class ResnetFC(nn.Module):
+    """Residual FC field network (reference resnetfc.py:65-198)."""
+    d_out: int = 4
+    n_blocks: int = 5
+    d_hidden: int = 128
+    beta: float = 0.0
+    combine_layer: int = 1000
+    combine_type: str = "average"
+    use_spade: bool = False
+    d_latent: int = 0
+
+    @nn.compact
+    def __call__(self, zx, combine_inner_dims: Sequence[int] = (1,)):
+        act = (lambda v: nn.softplus(self.beta * v) / self.beta) \
+            if self.beta > 0 else nn.relu
+        if self.d_latent > 0:
+            z = zx[..., :self.d_latent]
+            x = zx[..., self.d_latent:]
+        else:
+            z = None
+            x = zx
+        x = nn.Dense(self.d_hidden, kernel_init=_kaiming, name="lin_in")(x)
+
+        for blkid in range(self.n_blocks):
+            if blkid == self.combine_layer:
+                x = combine_interleaved(x, combine_inner_dims,
+                                        self.combine_type)
+            if z is not None and blkid < self.combine_layer:
+                tz = nn.Dense(self.d_hidden, kernel_init=_kaiming,
+                              name=f"lin_z_{blkid}")(z)
+                if self.use_spade:
+                    sz = nn.Dense(self.d_hidden, kernel_init=_kaiming,
+                                  name=f"scale_z_{blkid}")(z)
+                    x = sz * x + tz
+                else:
+                    x = x + tz
+            x = ResnetBlockFC(beta=self.beta, name=f"block_{blkid}")(x)
+
+        if self.combine_layer >= self.n_blocks and combine_inner_dims != (1,):
+            # When combining is requested past all blocks, reference semantics
+            # never reach it; keep identical behavior (no reduction).
+            pass
+        return nn.Dense(self.d_out, kernel_init=_kaiming,
+                        name="lin_out")(act(x))
+
+
+class ImplicitNet(nn.Module):
+    """IGR-style MLP with skip connections (reference mlp.py:9-137)."""
+    d_out: int = 4
+    dims: Sequence[int] = (128, 128, 128, 128)
+    skip_in: Sequence[int] = ()
+    combine_layer: int = 1000
+    combine_type: str = "average"
+    beta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, combine_inner_dims: Sequence[int] = (1,)):
+        act = (lambda v: nn.softplus(self.beta * v) / self.beta) \
+            if self.beta > 0 else nn.relu
+        d_in = x.shape[-1]
+        dims = [d_in] + list(self.dims) + [self.d_out]
+        x_init = x
+        for layer in range(len(dims) - 1):
+            if layer == self.combine_layer:
+                x = combine_interleaved(x, combine_inner_dims,
+                                        self.combine_type)
+                x_init = combine_interleaved(x_init, combine_inner_dims,
+                                             self.combine_type)
+            if layer in self.skip_in:
+                x = jnp.concatenate([x, x_init], axis=-1) / jnp.sqrt(2.0)
+            x = nn.Dense(dims[layer + 1], name=f"lin_{layer}")(x)
+            if layer < len(dims) - 2:
+                x = act(x)
+        return x
+
+
+def make_mlp(conf: dict, d_out: int = 4, allow_empty: bool = False):
+    """MLP factory (reference mlp_util.py:5-15): type mlp|resnet|empty."""
+    mlp_type = conf.get("type", "mlp")
+    if mlp_type == "mlp":
+        return ImplicitNet(
+            d_out=d_out,
+            dims=tuple(conf.get("dims", [128, 128, 128, 128])),
+            skip_in=tuple(conf.get("skip_in", ())),
+            combine_layer=conf.get("combine_layer", 1000),
+            combine_type=conf.get("combine_type", "average"),
+            beta=conf.get("beta", 0.0),
+        )
+    if mlp_type == "resnet":
+        return ResnetFC(
+            d_out=d_out,
+            n_blocks=conf.get("n_blocks", 5),
+            d_hidden=conf.get("d_hidden", 128),
+            beta=conf.get("beta", 0.0),
+            combine_layer=conf.get("combine_layer", 1000),
+            combine_type=conf.get("combine_type", "average"),
+            use_spade=conf.get("use_spade", False),
+        )
+    if mlp_type == "empty" and allow_empty:
+        return None
+    raise NotImplementedError(f"Unsupported MLP type: {mlp_type}")

@@ -1,0 +1,4 @@
+from behindthescenes_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                               replicate)
+
+__all__ = ["make_mesh", "shard_batch", "replicate"]

@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+The reference's only training parallelism is DDP over NCCL
+(SURVEY.md §2.7; reference train.py:20-32, ignite idist). The TPU-native
+equivalent: a 1-D `data` mesh axis; batches shard over it, parameters
+replicate, and XLA compiles the gradient all-reduce into the step (psum over
+ICI). No backend selection machinery is needed — `jax.distributed` +
+NamedSharding covers single-host, slice, and multi-slice.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Shard every leaf along its leading (batch) dimension. Leaves whose
+    batch dim does not divide the mesh (e.g. batch-1 eval samples) are
+    replicated instead."""
+    n_dev = mesh.devices.size
+    sharding = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n_dev == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

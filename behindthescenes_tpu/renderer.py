@@ -1,0 +1,319 @@
+"""Differentiable volume renderer (reference models/common/render/nerf.py).
+
+TPU-native re-design: one fully-vectorized pure function per stage, no
+chunking loop — the reference's `eval_batch_size` Python loop
+(nerf.py:241-268) disappears because rays are sharded across the device mesh
+and XLA tiles the fused point-query over the MXU. Sample counts are static;
+the sampling schedule (`sched`) is handled outside jit and triggers a
+recompile when sample counts change (rare, by design).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    """Mirrors reference NeRFRenderer.__init__ (nerf.py:65-101)."""
+    n_coarse: int = 128
+    n_fine: int = 0
+    n_fine_depth: int = 0
+    noise_std: float = 0.0
+    depth_std: float = 0.01
+    white_bkgd: bool = False
+    lindisp: bool = False
+    hard_alpha_cap: bool = False
+    sched: Optional[Tuple] = None
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+    @classmethod
+    def from_conf(cls, conf: dict, white_bkgd: bool = False) -> "RendererConfig":
+        sched = conf.get("sched", None)
+        if sched is not None and len(sched) == 0:
+            sched = None
+        return cls(
+            n_coarse=conf.get("n_coarse", 128),
+            n_fine=conf.get("n_fine", 0),
+            n_fine_depth=conf.get("n_fine_depth", 0),
+            noise_std=conf.get("noise_std", 0.0),
+            depth_std=conf.get("depth_std", 0.01),
+            white_bkgd=conf.get("white_bkgd", white_bkgd),
+            lindisp=conf.get("lindisp", True),
+            hard_alpha_cap=conf.get("hard_alpha_cap", False),
+            sched=tuple(map(tuple, sched)) if sched is not None else None,
+        )
+
+
+def _z_from_steps(rays, z_steps, lindisp):
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    if lindisp:
+        return 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+    return near * (1.0 - z_steps) + far * z_steps
+
+
+def sample_coarse(key, rays, n_coarse: int, lindisp: bool):
+    """Stratified sampling (reference nerf.py:103-123).
+
+    rays: (..., 8) -> z: (..., Kc).
+    """
+    step = 1.0 / n_coarse
+    z_steps = jnp.linspace(0.0, 1.0 - step, n_coarse, dtype=rays.dtype)
+    z_steps = jnp.broadcast_to(z_steps, rays.shape[:-1] + (n_coarse,))
+    z_steps = z_steps + jax.random.uniform(
+        key, z_steps.shape, dtype=rays.dtype) * step
+    return _z_from_steps(rays, z_steps, lindisp)
+
+
+def _searchsorted_right(cdf, u):
+    """Batched searchsorted(right=True): count of cdf entries <= u.
+
+    cdf: (..., K+1) ascending; u: (..., Kf) -> int32 (..., Kf).
+    """
+    return jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1)
+
+
+def sample_coarse_from_dist(key, rays, weights, z_samp, n_coarse: int,
+                            lindisp: bool):
+    """Resample from a coarse weight histogram (reference nerf.py:125-159)."""
+    k1, k2 = jax.random.split(key)
+    num_samples = n_coarse
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+
+    u = jax.random.uniform(k1, rays.shape[:-1] + (num_samples,),
+                           dtype=rays.dtype)
+    interval_ids = _searchsorted_right(cdf, u) - 1
+    interval_ids = jnp.clip(interval_ids, 0, num_samples - 1)
+    interval_interp = jax.random.uniform(k2, interval_ids.shape,
+                                         dtype=rays.dtype)
+
+    if lindisp:
+        z_samp = 1.0 / z_samp
+
+    centers = 0.5 * (z_samp[..., 1:] + z_samp[..., :-1])
+    borders = jnp.concatenate(
+        [z_samp[..., :1], centers, z_samp[..., -1:]], axis=-1)
+    left = jnp.take_along_axis(borders, interval_ids, axis=-1)
+    right = jnp.take_along_axis(borders, interval_ids + 1, axis=-1)
+    z_new = left * (1.0 - interval_interp) + right * interval_interp
+    if lindisp:
+        z_new = 1.0 / z_new
+    return jnp.sort(z_new, axis=-1)
+
+
+def sample_fine(key, rays, weights, n_samples: int, n_coarse: int,
+                lindisp: bool):
+    """Importance sampling from coarse weights (reference nerf.py:161-192)."""
+    k1, k2 = jax.random.split(key)
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+
+    u = jax.random.uniform(k1, rays.shape[:-1] + (n_samples,),
+                           dtype=rays.dtype)
+    inds = _searchsorted_right(cdf, u).astype(rays.dtype) - 1.0
+    inds = jnp.maximum(inds, 0.0)
+    z_steps = (inds + jax.random.uniform(k2, inds.shape,
+                                         dtype=rays.dtype)) / n_coarse
+    return _z_from_steps(rays, z_steps, lindisp)
+
+
+def sample_fine_depth(key, rays, depth, n_samples: int, depth_std: float):
+    """Gaussian samples around the expected depth (reference nerf.py:194-208)."""
+    z_samp = jnp.repeat(depth[..., None], n_samples, axis=-1)
+    z_samp = z_samp + jax.random.normal(key, z_samp.shape,
+                                        dtype=rays.dtype) * depth_std
+    return jnp.clip(z_samp, rays[..., 6:7], rays[..., 7:8])
+
+
+def composite(query_fn: Callable, rays, z_samp, cfg: RendererConfig,
+              coarse: bool = True, noise_key=None):
+    """Alpha-composite the field along rays (reference nerf.py:210-313).
+
+    Args:
+      query_fn: (xyz (n, P, 3), coarse) -> (rgb (n,P,v*3), invalid (n,P,v),
+        sigma (n,P,1)).
+      rays: (n, B, 8); z_samp: (n, B, K).
+    Returns dict: weights (n,B,K), rgb (n,B,v*3), depth (n,B),
+      alphas (n,B,K), invalid (n,B,K,v), z_samps, rgb_samps (n,B,K,v*3).
+    """
+    n, b, k = z_samp.shape
+    deltas = z_samp[..., 1:] - z_samp[..., :-1]
+    delta_inf = jnp.full_like(deltas[..., :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)  # (n, B, K)
+
+    points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
+    points = points.reshape(n, b * k, 3)
+
+    rgbs, invalid, sigmas = query_fn(points, coarse)
+    v3 = rgbs.shape[-1]
+    nv = invalid.shape[-1]
+    rgbs = rgbs.reshape(n, b, k, v3)
+    invalid = invalid.reshape(n, b, k, nv)
+    sigmas = sigmas.reshape(n, b, k)
+
+    if cfg.noise_std > 0.0 and noise_key is not None:
+        sigmas = sigmas + jax.random.normal(
+            noise_key, sigmas.shape, dtype=sigmas.dtype) * cfg.noise_std
+
+    alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jax.nn.relu(sigmas))
+    if cfg.hard_alpha_cap:
+        alphas = alphas.at[..., -1].set(1.0)
+
+    # T_i = prod_{j<i} (1 - alpha_j); exclusive cumprod via shifted concat.
+    alphas_shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1)
+    transmittance = jnp.cumprod(alphas_shifted, axis=-1)
+    weights = alphas * transmittance[..., :-1]
+
+    rgb_final = jnp.sum(weights[..., None] * rgbs, axis=-2)      # (n, B, v*3)
+    depth_final = jnp.sum(weights * z_samp, axis=-1)             # (n, B)
+    if cfg.white_bkgd:
+        pix_alpha = jnp.sum(weights, axis=-1)
+        rgb_final = rgb_final + (1.0 - pix_alpha[..., None])
+
+    return {
+        "weights": weights,
+        "rgb": rgb_final,
+        "depth": depth_final,
+        "alphas": alphas,
+        "invalid": invalid,
+        "z_samps": z_samp,
+        "rgb_samps": rgbs,
+    }
+
+
+def _prune(out: dict, want_weights, want_alphas, want_z_samps,
+           want_rgb_samps) -> dict:
+    res = {"rgb": out["rgb"], "depth": out["depth"], "invalid": out["invalid"]}
+    if want_weights:
+        res["weights"] = out["weights"]
+    if want_alphas:
+        res["alphas"] = out["alphas"]
+    if want_z_samps:
+        res["z_samps"] = out["z_samps"]
+    if want_rgb_samps:
+        res["rgb_samps"] = out["rgb_samps"]
+    return res
+
+
+def render_rays(query_fn: Callable, rays, key, cfg: RendererConfig,
+                want_weights: bool = False, want_alphas: bool = False,
+                want_z_samps: bool = False, want_rgb_samps: bool = False,
+                sample_from_dist=None) -> dict:
+    """Full render pass (reference nerf.py:315-375).
+
+    rays: (n, B, 8). Returns {"coarse": {...}[, "fine": {...}]}.
+    """
+    k_coarse, k_fine, k_fd, k_noise_c, k_noise_f = jax.random.split(key, 5)
+
+    if sample_from_dist is None:
+        z_coarse = sample_coarse(k_coarse, rays, cfg.n_coarse, cfg.lindisp)
+    else:
+        prop_weights, prop_z = sample_from_dist
+        z_coarse = sample_coarse_from_dist(
+            k_coarse, rays, prop_weights, prop_z, cfg.n_coarse, cfg.lindisp)
+
+    coarse_out = composite(query_fn, rays, z_coarse, cfg, coarse=True,
+                           noise_key=k_noise_c)
+    outputs = {"coarse": _prune(coarse_out, want_weights, want_alphas,
+                                want_z_samps, want_rgb_samps)}
+
+    if cfg.using_fine:
+        all_samps = [z_coarse]
+        if cfg.n_fine - cfg.n_fine_depth > 0:
+            all_samps.append(sample_fine(
+                k_fine, rays, jax.lax.stop_gradient(coarse_out["weights"]),
+                cfg.n_fine - cfg.n_fine_depth, cfg.n_coarse, cfg.lindisp))
+        if cfg.n_fine_depth > 0:
+            all_samps.append(sample_fine_depth(
+                k_fd, rays, coarse_out["depth"], cfg.n_fine_depth,
+                cfg.depth_std))
+        z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
+        fine_out = composite(query_fn, rays, z_combine, cfg, coarse=False,
+                             noise_key=k_noise_f)
+        outputs["fine"] = _prune(fine_out, want_weights, want_alphas,
+                                 want_z_samps, want_rgb_samps)
+    return outputs
+
+
+def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
+                        ray_chunk: int = 16384, **want) -> dict:
+    """Full-frame rendering: sequential `lax.map` over ray chunks INSIDE one
+    jit program — the TPU-native replacement for the reference's Python
+    `eval_batch_size` loop (nerf.py:241-268). Bounds peak HBM for the
+    ~8M-point per-frame query workload while keeping a single compiled
+    computation; chunk size trades memory for MXU utilization.
+
+    rays: (n, B, 8); returns the same dict as render_rays.
+    """
+    n, b, _ = rays.shape
+    if b <= ray_chunk:
+        return render_rays(query_fn, rays, key, cfg, **want)
+    num_chunks = -(-b // ray_chunk)
+    pad = num_chunks * ray_chunk - b
+    rays_p = jnp.pad(rays, [(0, 0), (0, pad), (0, 0)])
+    if pad:
+        # Padded rays must stay renderable: give them the last ray's bounds.
+        rays_p = rays_p.at[:, b:, 6].set(rays[0, -1, 6])
+        rays_p = rays_p.at[:, b:, 7].set(rays[0, -1, 7])
+    chunks = rays_p.reshape(n, num_chunks, ray_chunk, 8)
+    chunks = jnp.moveaxis(chunks, 1, 0)  # (C, n, chunk, 8)
+
+    def body(args):
+        idx, chunk_rays = args
+        k = jax.random.fold_in(key, idx)
+        return render_rays(query_fn, chunk_rays, k, cfg, **want)
+
+    outs = jax.lax.map(body, (jnp.arange(num_chunks), chunks))
+
+    def merge(x):
+        # (C, n, chunk, ...) -> (n, C*chunk, ...) -> strip padding
+        x = jnp.moveaxis(x, 0, 1)
+        x = x.reshape((n, num_chunks * ray_chunk) + x.shape[3:])
+        return x[:, :b]
+
+    return jax.tree_util.tree_map(merge, outs)
+
+
+class SampleScheduler:
+    """Sample-count schedule (reference nerf.py:403-423). Lives outside jit;
+    changing counts recompiles the render fn (static shapes)."""
+
+    def __init__(self, cfg: RendererConfig):
+        self.cfg = cfg
+        self.iter_idx = 0
+        self.last_sched = 0
+
+    def step(self, steps: int = 1) -> RendererConfig:
+        sched = self.cfg.sched
+        if sched is None:
+            return self.cfg
+        self.iter_idx += steps
+        n_coarse, n_fine = self.cfg.n_coarse, self.cfg.n_fine
+        while (self.last_sched < len(sched[0])
+               and self.iter_idx >= sched[0][self.last_sched]):
+            n_coarse = sched[1][self.last_sched]
+            n_fine = sched[2][self.last_sched]
+            self.last_sched += 1
+        if (n_coarse, n_fine) != (self.cfg.n_coarse, self.cfg.n_fine):
+            self.cfg = dataclasses.replace(self.cfg, n_coarse=n_coarse,
+                                           n_fine=n_fine)
+        return self.cfg
+
+    def state_dict(self):
+        return {"iter_idx": self.iter_idx, "last_sched": self.last_sched}
+
+    def load_state_dict(self, d):
+        self.iter_idx = int(d["iter_idx"])
+        self.last_sched = int(d["last_sched"])

@@ -1,0 +1,237 @@
+"""Training harness: the run loop with validation, visualization,
+checkpointing, resume, and metric logging.
+
+Re-design of reference utils/base_trainer.py:24-518 (ignite Engine/Events)
+as a plain, inspectable loop: events are just code in order. Checkpoints are
+orbax; metrics are NaN-skipping running means reduced across hosts by jax
+collectives already inside the compiled steps.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from behindthescenes_tpu.parallel.mesh import shard_batch
+from behindthescenes_tpu.training.trainer import BTSTrainer, TrainState
+
+log = logging.getLogger("bts_tpu")
+
+
+class MeanMetric:
+    """NaN-skipping running mean (reference utils/metrics.py:11-41).
+    Cross-device reduction happens inside the compiled eval step; this
+    accumulates per-host scalars."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, value: float):
+        if np.isnan(value):
+            return
+        self.total += float(value)
+        self.count += 1
+
+    def compute(self) -> float:
+        return self.total / self.count if self.count else float("nan")
+
+
+@dataclasses.dataclass
+class HarnessConfig:
+    output_path: str = "out/run"
+    num_epochs: int = 1
+    validate_every: int = 2000       # iterations
+    visualize_every: int = 500
+    checkpoint_every: int = 500
+    log_every: int = 50
+    stop_iteration: Optional[int] = None
+    resume_from: Optional[str] = None
+    save_best_metric: Optional[str] = None
+    save_best_sign: int = -1          # -1: lower is better
+
+    @classmethod
+    def from_conf(cls, conf: dict) -> "HarnessConfig":
+        best = conf.get("save_best", {}) or {}
+        return cls(
+            output_path=conf.get("output_path", "out/run"),
+            num_epochs=conf.get("num_epochs", 1),
+            validate_every=conf.get("validate_every", 2000),
+            visualize_every=conf.get("visualize_every", 500),
+            checkpoint_every=conf.get("checkpoint_every", 500),
+            log_every=conf.get("log_every_iters", 50),
+            stop_iteration=conf.get("stop_iteration", None),
+            resume_from=conf.get("resume_from", None),
+            save_best_metric=best.get("metric"),
+            save_best_sign=best.get("sign", -1),
+        )
+
+
+class CheckpointManager:
+    """Orbax-backed checkpointing of {params, batch_stats, opt_state, step}
+    plus host-side state (render scheduler), replacing ignite Checkpoint
+    (reference utils/base_trainer.py:315-336)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+
+    def save(self, step: int, state: TrainState, extra: Optional[dict] = None):
+        self.manager.save(step, args=ocp.args.StandardSave(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step}))
+        if extra:
+            with open(os.path.join(self.directory, f"extra_{step}.json"),
+                      "w") as f:
+                json.dump(extra, f)
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return state, None
+        target = {"params": state.params, "batch_stats": state.batch_stats,
+                  "opt_state": state.opt_state, "step": state.step}
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(target))
+        extra_path = os.path.join(self.directory, f"extra_{step}.json")
+        extra = None
+        if os.path.exists(extra_path):
+            with open(extra_path) as f:
+                extra = json.load(f)
+        return TrainState(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"],
+                          step=restored["step"]), extra
+
+
+def base_training(config: dict, get_dataflow: Callable,
+                  trainer: Optional[BTSTrainer] = None,
+                  visualize: Optional[Callable] = None,
+                  on_iteration: Optional[Callable] = None) -> TrainState:
+    """The run loop (reference utils/base_trainer.py:24-221 condensed).
+
+    get_dataflow(config) -> (train_loader, val_loader, vis_loader).
+    """
+    hc = HarnessConfig.from_conf(config)
+    os.makedirs(hc.output_path, exist_ok=True)
+    # Configure our logger directly — the runtime may already own the root
+    # logger's handlers, making basicConfig a no-op.
+    if not log.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s %(name)s %(message)s"))
+        log.addHandler(handler)
+        log.setLevel(logging.INFO)
+        log.propagate = False
+    log.info("config: %s", json.dumps(
+        {k: v for k, v in config.items() if not isinstance(v, dict)},
+        default=str))
+
+    trainer = trainer or BTSTrainer(config)
+    train_loader, val_loader, vis_loader = get_dataflow(config)
+
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    key, init_key = jax.random.split(key)
+    sample_batch = shard_batch(next(iter(train_loader)), trainer.mesh)
+    state = trainer.init_state(sample_batch, init_key)
+
+    ckpt = CheckpointManager(os.path.join(hc.output_path, "checkpoints"))
+    best_ckpt = CheckpointManager(os.path.join(hc.output_path, "best"),
+                                  max_to_keep=2)
+    best_value = None
+
+    if hc.resume_from:
+        state, extra = CheckpointManager(hc.resume_from).restore(state)
+        if extra and "render_sched" in extra:
+            trainer.scheduler.load_state_dict(extra["render_sched"])
+        log.info("resumed from %s at step %d", hc.resume_from,
+                 int(state.step))
+    elif ckpt.latest_step() is not None:
+        state, extra = ckpt.restore(state)
+        if extra and "render_sched" in extra:
+            trainer.scheduler.load_state_dict(extra["render_sched"])
+        log.info("auto-resumed at step %d", int(state.step))
+
+    it = int(state.step)
+    t_iter = time.time()
+    for epoch in range(hc.num_epochs):
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            t_data = time.time() - t_iter
+            batch = shard_batch(batch, trainer.mesh)
+            key, sub = jax.random.split(key)
+            state, loss_dict = trainer.train_step(state, batch, sub, it)
+            it += 1
+
+            if it % hc.log_every == 0:
+                loss_dict = {k: float(v) for k, v in loss_dict.items()}
+                dt = time.time() - t_iter
+                log.info("epoch %d it %d loss %.5f (t_iter %.3fs "
+                         "t_data %.3fs) %s", epoch, it,
+                         loss_dict.get("loss", float("nan")), dt, t_data,
+                         {k: round(v, 5) for k, v in loss_dict.items()})
+            t_iter = time.time()
+
+            if on_iteration is not None:
+                on_iteration(it, state, loss_dict)
+
+            if it % hc.checkpoint_every == 0:
+                ckpt.save(it, state, extra={
+                    "render_sched": trainer.scheduler.state_dict()})
+
+            if val_loader is not None and it % hc.validate_every == 0:
+                metrics = run_validation(trainer, state, val_loader)
+                log.info("validation @ %d: %s", it,
+                         {k: round(v, 5) for k, v in metrics.items()})
+                if hc.save_best_metric and hc.save_best_metric in metrics:
+                    val = metrics[hc.save_best_metric] * hc.save_best_sign
+                    if best_value is None or val > best_value:
+                        best_value = val
+                        best_ckpt.save(it, state)
+                        log.info("new best %s=%.5f @ %d",
+                                 hc.save_best_metric,
+                                 metrics[hc.save_best_metric], it)
+
+            if (vis_loader is not None and visualize is not None
+                    and it % hc.visualize_every == 0):
+                visualize(trainer, state, vis_loader, it)
+
+            if hc.stop_iteration and it >= hc.stop_iteration:
+                ckpt.save(it, state, extra={
+                    "render_sched": trainer.scheduler.state_dict()})
+                return state
+
+    ckpt.save(it, state,
+              extra={"render_sched": trainer.scheduler.state_dict()})
+    return state
+
+
+def run_validation(trainer: BTSTrainer, state: TrainState,
+                   val_loader) -> dict:
+    """Metric pass over the validation set
+    (reference utils/base_trainer.py:98-110 + metrics)."""
+    metrics: dict[str, MeanMetric] = {}
+    for batch in val_loader:
+        batch = shard_batch(batch, trainer.mesh)
+        out = trainer.eval_step(state, batch)
+        if "metrics" in out:
+            for k, v in out["metrics"].items():
+                metrics.setdefault(k, MeanMetric()).update(float(v))
+    return {k: m.compute() for k, m in metrics.items()}

@@ -1,0 +1,178 @@
+"""Trainer core: TrainState, the pjit-compiled train/eval steps, and the
+task factory (reference models/bts/trainer.py:355-427 + the step logic of
+utils/base_trainer.py:270-307).
+
+The step is one compiled function: forward (encode→sample→render), loss,
+backward, optimizer update — including the cross-device gradient reduction,
+which XLA inserts from the shardings (batch: P('data'), params: replicated).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from behindthescenes_tpu import renderer as renderer_lib
+from behindthescenes_tpu.losses import ReconstructionLoss
+from behindthescenes_tpu.models.bts import BTSNet
+from behindthescenes_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                               replicated_sharding)
+from behindthescenes_tpu.training.schedule import make_lr_schedule
+from behindthescenes_tpu.training.view_select import ViewIds
+from behindthescenes_tpu.training.wrapper import (BTSWrapper,
+                                                  compute_depth_metrics)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(config: dict):
+    lr = config.get("learning_rate", 1e-4)
+    schedule = make_lr_schedule(config.get("scheduler", {}), lr)
+    return optax.adam(schedule), schedule
+
+
+def _alternating_mask(params, train_encoder):
+    """Zero updates for the frozen half when alternating encoder/MLP training
+    (reference models/bts/trainer.py:101-112). `train_encoder` is traced."""
+    def mask(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_encoder = "encoder" in names
+        in_mlp = any("mlp_coarse" in str(n) for n in names)
+        if in_encoder:
+            return leaf * train_encoder
+        if in_mlp:
+            return leaf * (1.0 - train_encoder)
+        return leaf
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+class BTSTrainer:
+    """Builds and owns the compiled steps for one task config."""
+
+    def __init__(self, config: dict, mesh=None, compute_dtype=jnp.float32):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        model_conf = config["model_conf"]
+        self.net = BTSNet.from_conf(model_conf, compute_dtype=compute_dtype)
+        self.renderer_cfg = renderer_lib.RendererConfig.from_conf(
+            config.get("renderer", {}))
+        self.scheduler = renderer_lib.SampleScheduler(self.renderer_cfg)
+        self.wrapper = BTSWrapper(self.net, self.renderer_cfg, model_conf)
+        self.criterion = ReconstructionLoss.from_conf(
+            config.get("loss", {}),
+            model_conf.get("use_automasking", False))
+        self.tx, self.lr_schedule = make_optimizer(config)
+        self.alternating_ratio = model_conf.get("alternating_ratio", None)
+        self._train_step_cache = {}
+        self._eval_step_cache = {}
+        self.np_rng = np.random.default_rng(config.get("seed", 0))
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, sample_batch: dict, key) -> TrainState:
+        images = sample_batch["imgs"]
+        n, v = images.shape[:2]
+        xyz = jnp.zeros((n, 8, 3))
+        variables = self.net.init(key, images, sample_batch["projs"],
+                                  sample_batch["poses"], xyz)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=jnp.asarray(0))
+
+    # ------------------------------------------------------------ train step
+    def _build_train_step(self, renderer_cfg):
+        wrapper = self.wrapper
+        criterion = self.criterion
+        tx = self.tx
+        alternating = self.alternating_ratio is not None
+
+        def train_step(state: TrainState, batch, key, ids: ViewIds,
+                       train_encoder):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                data, new_vars = wrapper.forward(
+                    variables, batch, key, ids, train=True,
+                    renderer_cfg=renderer_cfg)
+                loss, loss_dict = criterion(data)
+                return loss, (loss_dict, new_vars.get("batch_stats", {}))
+
+            grads, (loss_dict, new_bs) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            if alternating:
+                grads = _alternating_mask(grads, train_encoder)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=new_params, batch_stats=new_bs,
+                                   opt_state=new_opt, step=state.step + 1)
+            return new_state, loss_dict
+
+        repl = replicated_sharding(self.mesh)
+        data_shard = batch_sharding(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, data_shard, repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, state: TrainState, batch, key, step_idx: int):
+        """Host-side wrapper: schedules sample counts, view selection,
+        alternating flag; dispatches the compiled step."""
+        cfg = self.scheduler.step()
+        cache_key = (cfg.n_coarse, cfg.n_fine)
+        if cache_key not in self._train_step_cache:
+            self._train_step_cache[cache_key] = self._build_train_step(cfg)
+        v = batch["imgs"].shape[1]
+        ids = self.wrapper.select_views(self.np_rng, v, training=True)
+        if self.alternating_ratio is not None:
+            phase = step_idx % (self.alternating_ratio + 1)
+            train_encoder = jnp.asarray(
+                1.0 if phase < self.alternating_ratio else 0.0)
+        else:
+            train_encoder = jnp.asarray(1.0)
+        return self._train_step_cache[cache_key](state, batch, key, ids,
+                                                 train_encoder)
+
+    # ------------------------------------------------------------- eval step
+    def _build_eval_step(self, renderer_cfg, with_depth_metrics):
+        wrapper = self.wrapper
+
+        def eval_step(state: TrainState, batch, key, ids: ViewIds):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            data, _ = wrapper.forward(variables, batch, key, ids, train=False,
+                                      renderer_cfg=renderer_cfg)
+            out = {"depth": data["fine"][0]["depth"],
+                   "rgb": data["fine"][0]["rgb"]}
+            if with_depth_metrics:
+                out["metrics"] = compute_depth_metrics(data)
+            return out
+
+        return jax.jit(eval_step)
+
+    def eval_step(self, state: TrainState, batch, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        v = batch["imgs"].shape[1]
+        with_depth = "depths" in batch and batch["depths"] is not None
+        cache_key = (v, with_depth, batch["imgs"].shape)
+        if cache_key not in self._eval_step_cache:
+            self._eval_step_cache[cache_key] = self._build_eval_step(
+                self.renderer_cfg, with_depth)
+        ids = self.wrapper.select_views(self.np_rng, v, training=False)
+        return self._eval_step_cache[cache_key](state, batch, key, ids)

@@ -1,0 +1,115 @@
+"""Benchmark: full-frame depth render throughput on the flagship model.
+
+Workload (BASELINE.md): KITTI eval_depth inner loop — encode one 192x640
+frame with the ResNet-50 monodepth2 backbone, then volume-render every pixel
+(122880 rays x 64 samples ≈ 7.9M field queries: project, bilinear-gather,
+positional-encode, density MLP, color reprojection, alpha-composite).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio against the reference PyTorch pipeline's measured
+throughput for the same workload on this host's CPU (the only hardware both
+stacks share here; the reference's published hardware was 1x A40 and no
+throughput numbers exist in the repo — see BASELINE.md). The constant below
+was measured with scripts/bench_torch_baseline.py on this machine.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from behindthescenes_tpu.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+# rays/sec of the torch-CPU reference-equivalent hot path on this host
+# (scripts/bench_torch_baseline.py, median of 3).
+TORCH_CPU_BASELINE_RAYS_PER_SEC = 23577.0
+
+H, W = 192, 640
+N_COARSE = 64
+
+
+def build():
+    from behindthescenes_tpu.models.bts import BTSNet
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.ray_sampler import ImageRaySampler
+
+    model_conf = {
+        "z_near": 3.0, "z_far": 80.0, "inv_z": True, "code_mode": "z",
+        "learn_empty": False,
+        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
+        "encoder": {"type": "monodepth2", "resnet_layers": 50,
+                    "num_ch_dec": [32, 32, 64, 128, 256], "d_out": 64,
+                    "scales": [0]},
+        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
+        "mlp_fine": {"type": "empty"},
+    }
+    net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
+    rcfg = renderer_lib.RendererConfig(
+        n_coarse=N_COARSE, n_fine=0, lindisp=True, hard_alpha_cap=True)
+    sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)),
+                         dtype=jnp.float32)
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+    poses = poses.at[:, 1, 0, 3].set(0.54)  # stereo baseline
+    projs = jnp.broadcast_to(jnp.asarray(
+        [[0.6, 0, 0], [0, 1.8, 0], [0, 0, 1]], dtype=jnp.float32),
+        (1, 2, 3, 3))
+
+    variables = net.init(jax.random.PRNGKey(0), images, projs, poses,
+                         jnp.zeros((1, 8, 3)))
+
+    def render_frame(variables, images, projs, poses, key):
+        from behindthescenes_tpu.models.bts import BTSNet as _B
+        grid = net.apply(variables, images, projs, poses, ids_encoder=[0],
+                         ids_render=[0, 1], method=_B.encode)
+
+        def query_fn(xyz, coarse):
+            return net.apply(variables, grid, xyz, coarse=coarse,
+                             method=_B.query)
+
+        rays, _ = sampler.sample(key, None, poses[:, :1], projs[:, :1])
+        out = renderer_lib.render_rays_chunked(query_fn, rays, key, rcfg,
+                                               ray_chunk=15360)
+        return out["coarse"]["depth"], out["coarse"]["rgb"]
+
+    fn = jax.jit(render_frame)
+    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1))
+
+
+def main():
+    fn, args = build()
+    # Warmup / compile.
+    depth, rgb = fn(*args)
+    _ = float(jnp.sum(depth))
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        depth, rgb = fn(*args)
+        # Force full materialization on the host — block_until_ready can
+        # return early through the remote-execution relay.
+        _ = float(jnp.sum(depth)) + float(jnp.sum(rgb))
+        times.append(time.perf_counter() - t0)
+    t_frame = float(np.median(times))
+    rays_per_sec = H * W / t_frame
+
+    print(json.dumps({
+        "metric": "depth_render_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s (192x640x64smp full pipeline, 1 chip)",
+        "vs_baseline": round(rays_per_sec / TORCH_CPU_BASELINE_RAYS_PER_SEC,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

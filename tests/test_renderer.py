@@ -1,0 +1,121 @@
+"""Renderer tests: analytic compositing fixtures + sampling invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from behindthescenes_tpu import renderer as rlib
+
+
+def _wall_query(wall_z=5.0, sigma_val=1e4):
+    """Opaque wall at z=wall_z for axis-aligned rays."""
+    def query_fn(xyz, coarse):
+        n, p, _ = xyz.shape
+        sigma = jnp.where(xyz[..., 2:3] >= wall_z, sigma_val, 0.0)
+        rgb = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 0.25]), (n, p, 3))
+        invalid = jnp.zeros((n, p, 1))
+        return rgb, invalid, sigma
+    return query_fn
+
+
+def _axis_rays(b=8, near=1.0, far=10.0):
+    rays = np.zeros((1, b, 8), dtype=np.float32)
+    rays[..., 3:6] = [0, 0, 1]
+    rays[..., 6] = near
+    rays[..., 7] = far
+    return jnp.asarray(rays)
+
+
+def test_composite_wall_depth():
+    rays = _axis_rays()
+    cfg = rlib.RendererConfig(n_coarse=256, lindisp=False,
+                              hard_alpha_cap=False)
+    z = rlib.sample_coarse(jax.random.PRNGKey(0), rays, cfg.n_coarse,
+                           cfg.lindisp)
+    out = rlib.composite(_wall_query(), rays, z, cfg)
+    depth = np.asarray(out["depth"])
+    # Depth lands on the first stratified sample past the wall: error is
+    # bounded by ~2 bins = 2 * (far-near)/K = 0.07.
+    assert np.all(depth >= 5.0 - 1e-4) and np.all(depth <= 5.0 + 0.08), depth
+    rgb = np.asarray(out["rgb"])
+    np.testing.assert_allclose(
+        rgb, np.broadcast_to(np.array([1.0, 0.5, 0.25]), rgb.shape),
+        atol=1e-3)
+    w = np.asarray(out["weights"])
+    assert np.all(w.sum(-1) <= 1.0 + 1e-5)
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-3)
+
+
+def test_composite_empty_space_hard_alpha_cap():
+    rays = _axis_rays(near=1.0, far=4.0)  # wall at 5 is beyond far
+
+    def empty_query(xyz, coarse):
+        n, p, _ = xyz.shape
+        return (jnp.zeros((n, p, 3)), jnp.zeros((n, p, 1)),
+                jnp.zeros((n, p, 1)))
+
+    cfg = rlib.RendererConfig(n_coarse=32, hard_alpha_cap=True)
+    z = rlib.sample_coarse(jax.random.PRNGKey(0), rays, 32, False)
+    out = rlib.composite(empty_query, rays, z, cfg)
+    # hard_alpha_cap forces the last sample opaque: weights sum to 1, depth
+    # collapses to the last z sample.
+    np.testing.assert_allclose(np.asarray(out["weights"]).sum(-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(z[..., -1]), atol=1e-5)
+
+
+def test_sample_coarse_within_bounds_sorted():
+    rays = _axis_rays(near=2.0, far=9.0)
+    for lindisp in (False, True):
+        z = rlib.sample_coarse(jax.random.PRNGKey(1), rays, 64, lindisp)
+        zn = np.asarray(z)
+        assert zn.min() >= 2.0 - 1e-5 and zn.max() <= 9.0 + 1e-5
+        assert np.all(np.diff(zn, axis=-1) > 0)  # stratified => sorted
+
+
+def test_sample_fine_concentrates_on_peak():
+    rays = _axis_rays(b=4)
+    k = 64
+    weights = np.zeros((1, 4, k), dtype=np.float32)
+    weights[..., 40] = 1.0  # all mass in bin 40
+    z = rlib.sample_fine(jax.random.PRNGKey(2), rays,
+                         jnp.asarray(weights), 32, k, False)
+    # bin 40 of [1,10] span: z in [1 + 9*40/64, 1 + 9*41/64]
+    zn = np.asarray(z)
+    lo, hi = 1 + 9 * 40 / 64, 1 + 9 * 41 / 64
+    frac_in = ((zn >= lo - 0.2) & (zn <= hi + 0.2)).mean()
+    assert frac_in > 0.95
+
+
+def test_render_rays_full_pipeline_with_fine():
+    rays = _axis_rays()
+    cfg = rlib.RendererConfig(n_coarse=32, n_fine=16, n_fine_depth=4,
+                              depth_std=0.1, hard_alpha_cap=True,
+                              lindisp=False)
+    out = rlib.render_rays(_wall_query(), rays, jax.random.PRNGKey(3), cfg,
+                           want_weights=True, want_alphas=True,
+                           want_z_samps=True, want_rgb_samps=True)
+    assert "fine" in out
+    assert out["coarse"]["weights"].shape == (1, 8, 32)
+    assert out["fine"]["weights"].shape == (1, 8, 32 + 16)
+    # Coarse bins are (10-1)/32 = 0.28 wide; importance sampling tightens
+    # around the wall but depth still lands on the first sample past it.
+    np.testing.assert_allclose(np.asarray(out["fine"]["depth"]), 5.0,
+                               atol=0.35)
+    # z_samps sorted in fine pass
+    zf = np.asarray(out["fine"]["z_samps"])
+    assert np.all(np.diff(zf, axis=-1) >= 0)
+
+
+def test_sample_scheduler():
+    cfg = rlib.RendererConfig(n_coarse=64, n_fine=0,
+                              sched=((10, 20), (32, 16), (8, 4)))
+    sch = rlib.SampleScheduler(cfg)
+    assert sch.step(5).n_coarse == 64
+    assert sch.step(5).n_coarse == 32   # hits iter 10
+    assert sch.step(10).n_coarse == 16  # hits iter 20
+    assert sch.step(100).n_coarse == 16
+    state = sch.state_dict()
+    sch2 = rlib.SampleScheduler(cfg)
+    sch2.load_state_dict(state)
+    assert sch2.last_sched == 2
