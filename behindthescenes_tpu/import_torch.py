@@ -1,0 +1,177 @@
+"""PyTorch checkpoint importer.
+
+Published BTS checkpoints (reference download_checkpoint.sh) store the
+torch `state_dict` of the training wrapper: keys prefixed
+`renderer.net.` address the BTSNet (encoder/decoder CNN, field MLPs,
+empty_feature). This module maps them onto our Flax parameter tree so
+pretrained reference models run unchanged on TPU (SURVEY.md §5.4).
+
+Layout conversions:
+  conv weight  (O, I, kh, kw) -> (kh, kw, I, O)
+  linear weight (O, I)        -> (I, O)
+  batchnorm weight/bias       -> scale/bias params;
+  running_mean/var            -> batch_stats mean/var
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear(w):
+    return np.transpose(w, (1, 0))
+
+
+_RESNET_SPECS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+
+
+def _map_resnet_encoder(sd, prefix, resnet_layers):
+    """torchvision-style resnet keys -> our ResnetEncoder params/stats."""
+    params = {}
+    stats = {}
+
+    def conv_bn(tp_conv, tp_bn, name):
+        params[name] = {
+            "conv": {"kernel": _conv(sd[tp_conv + ".weight"])},
+            "bn": {"scale": sd[tp_bn + ".weight"],
+                   "bias": sd[tp_bn + ".bias"]},
+        }
+        stats[name] = {"bn": {"mean": sd[tp_bn + ".running_mean"],
+                              "var": sd[tp_bn + ".running_var"]}}
+
+    params["conv1"] = {"kernel": _conv(sd[prefix + "conv1.weight"])}
+    params["bn1"] = {"scale": sd[prefix + "bn1.weight"],
+                     "bias": sd[prefix + "bn1.bias"]}
+    stats["bn1"] = {"mean": sd[prefix + "bn1.running_mean"],
+                    "var": sd[prefix + "bn1.running_var"]}
+
+    blocks = _RESNET_SPECS[resnet_layers]
+    n_convs = 3 if resnet_layers >= 50 else 2
+    for stage, n_blocks in enumerate(blocks):
+        for b in range(n_blocks):
+            name = f"layer{stage + 1}_{b}"
+            tp = f"{prefix}layer{stage + 1}.{b}."
+            sub_p, sub_s = {}, {}
+            for ci in range(1, n_convs + 1):
+                cp = {"conv": {"kernel": _conv(sd[tp + f"conv{ci}.weight"])},
+                      "bn": {"scale": sd[tp + f"bn{ci}.weight"],
+                             "bias": sd[tp + f"bn{ci}.bias"]}}
+                cs = {"bn": {"mean": sd[tp + f"bn{ci}.running_mean"],
+                             "var": sd[tp + f"bn{ci}.running_var"]}}
+                sub_p[f"conv{ci}"] = cp
+                sub_s[f"conv{ci}"] = cs
+            if tp + "downsample.0.weight" in sd:
+                sub_p["downsample"] = {
+                    "conv": {"kernel": _conv(sd[tp + "downsample.0.weight"])},
+                    "bn": {"scale": sd[tp + "downsample.1.weight"],
+                           "bias": sd[tp + "downsample.1.bias"]}}
+                sub_s["downsample"] = {
+                    "bn": {"mean": sd[tp + "downsample.1.running_mean"],
+                           "var": sd[tp + "downsample.1.running_var"]}}
+            params[name] = sub_p
+            stats[name] = sub_s
+    return params, stats
+
+
+def _map_monodepth_decoder(sd, prefix, scales=(0, 1, 2, 3)):
+    """Reference Decoder ModuleList order (monodepth2.py:190-208):
+    [upconv_4_0, upconv_4_1, ..., upconv_0_0, upconv_0_1,
+     dispconv_s for s in scales]."""
+    params = {}
+    idx = 0
+    for i in range(4, -1, -1):
+        for j in (0, 1):
+            w = sd[f"{prefix}decoder.{idx}.conv.conv.weight"]
+            b = sd[f"{prefix}decoder.{idx}.conv.conv.bias"]
+            params[f"upconv_{i}_{j}"] = {
+                "conv": {"kernel": _conv(w), "bias": b}}
+            idx += 1
+    for s in scales:
+        w = sd[f"{prefix}decoder.{idx}.conv.weight"]
+        b = sd[f"{prefix}decoder.{idx}.conv.bias"]
+        params[f"dispconv_{s}"] = {"conv": {"kernel": _conv(w), "bias": b}}
+        idx += 1
+    return params
+
+
+def _map_resnetfc(sd, prefix):
+    params = {}
+    params["lin_in"] = {"kernel": _linear(sd[prefix + "lin_in.weight"]),
+                        "bias": sd[prefix + "lin_in.bias"]}
+    params["lin_out"] = {"kernel": _linear(sd[prefix + "lin_out.weight"]),
+                         "bias": sd[prefix + "lin_out.bias"]}
+    i = 0
+    while f"{prefix}blocks.{i}.fc_0.weight" in sd:
+        blk = {"fc_0": {"kernel": _linear(sd[f"{prefix}blocks.{i}.fc_0.weight"]),
+                        "bias": sd[f"{prefix}blocks.{i}.fc_0.bias"]},
+               "fc_1": {"kernel": _linear(sd[f"{prefix}blocks.{i}.fc_1.weight"]),
+                        "bias": sd[f"{prefix}blocks.{i}.fc_1.bias"]}}
+        if f"{prefix}blocks.{i}.shortcut.weight" in sd:
+            blk["shortcut"] = {
+                "kernel": _linear(sd[f"{prefix}blocks.{i}.shortcut.weight"])}
+        params[f"block_{i}"] = blk
+        i += 1
+    return params
+
+
+def import_bts_checkpoint(path: str, resnet_layers: int = 50,
+                          scales=(0, 1, 2, 3)) -> Tuple[dict, dict]:
+    """-> (params, batch_stats) for our BTSNet, from a reference training
+    checkpoint (`training*.pt`) or a bare BTSNet state dict."""
+    sd = load_torch_state_dict(path)
+
+    # Strip wrapper prefixes: BTSWrapper -> renderer (bind_parallel)
+    # -> net (models_bts).
+    for pref in ("renderer.net.", "net.", "module.renderer.net."):
+        if any(k.startswith(pref) for k in sd):
+            sd = {k[len(pref):]: v for k, v in sd.items()
+                  if k.startswith(pref)}
+            break
+
+    enc_p, enc_s = _map_resnet_encoder(sd, "encoder.encoder.encoder.",
+                                       resnet_layers)
+    dec_p = _map_monodepth_decoder(sd, "encoder.decoder.", scales)
+    params = {
+        "encoder": {"encoder": enc_p, "decoder": dec_p},
+        "mlp_coarse": _map_resnetfc(sd, "mlp_coarse."),
+    }
+    batch_stats = {"encoder": {"encoder": enc_s}}
+    if "empty_feature" in sd:
+        params["empty_feature"] = sd["empty_feature"]
+    if any(k.startswith("mlp_fine.") for k in sd):
+        params["mlp_fine"] = _map_resnetfc(sd, "mlp_fine.")
+    return params, batch_stats
+
+
+def validate_against_template(params: dict, template: dict, path="params"):
+    """Shape-check imported params against an initialized template tree;
+    raises with the exact mismatching key."""
+    import jax
+    t_flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    p_flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    missing = []
+    for key, t_leaf in t_flat:
+        if key not in p_flat:
+            missing.append(jax.tree_util.keystr(key))
+        elif tuple(p_flat[key].shape) != tuple(t_leaf.shape):
+            raise ValueError(
+                f"shape mismatch at {jax.tree_util.keystr(key)}: "
+                f"imported {p_flat[key].shape} vs template {t_leaf.shape}")
+    if missing:
+        raise ValueError(f"missing imported params: {missing[:10]}"
+                         f" (+{max(0, len(missing) - 10)} more)")

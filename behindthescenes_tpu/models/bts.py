@@ -144,10 +144,14 @@ class BTSNet(nn.Module):
         self.code_xyz = PositionalEncoding.from_conf(dict(self.code_conf),
                                                      d_in=3)
         d_out = 1 if self.sample_color else 4
-        self.mlp_coarse = make_mlp(dict(self.mlp_coarse_conf), d_out=d_out)
+        mlp_dtype = self.compute_dtype \
+            if self.compute_dtype != jnp.float32 else None
+        self.mlp_coarse = make_mlp(dict(self.mlp_coarse_conf), d_out=d_out,
+                                   dtype=mlp_dtype)
         fine_conf = dict(self.mlp_fine_conf) if self.mlp_fine_conf else \
             {"type": "empty"}
-        self.mlp_fine = make_mlp(fine_conf, d_out=d_out, allow_empty=True)
+        self.mlp_fine = make_mlp(fine_conf, d_out=d_out, allow_empty=True,
+                                 dtype=mlp_dtype)
         if self.learn_empty:
             self.empty_feature = self.param(
                 "empty_feature", nn.initializers.normal(1.0),
@@ -332,6 +336,97 @@ class BTSNet(nn.Module):
             n, n_pts, nv)
         invalid = invalid_colors | invalid_features
         return rgb, invalid.astype(rgb.dtype), sigma
+
+    def query_selfview_density(self, grid: FeatureGrid, z_samp,
+                               coarse: bool = True, scale: int = 0):
+        """Dense density query for rays cast FROM the encoder camera itself.
+
+        TPU-first specialization absent from the reference: when rendering
+        the keyframe with ids_encoder=[0] (eval_depth keyframe render,
+        gen_img depth maps, BEV density profiles), every sample along the
+        ray through pixel (u, v) projects back to (u, v) in the feature
+        frame — the bilinear gather (reference models_bts.py:179) becomes a
+        dense read of the feature map, eliminating the latency-bound gather
+        entirely. Only the z positional code varies per sample.
+
+        Args:
+          grid: FeatureGrid from `encode` (first encoder view is used; its
+            camera must be the ray source — i.e. the keyframe).
+          z_samp: (h*w, K) per-pixel sample distances along *normalized*
+            ray directions (ImageRaySampler convention).
+        Returns:
+          sigma: (1, h*w, K).
+        """
+        feature_map = grid.features[scale]
+        n, nv, h, w, c = feature_map.shape
+        assert n == 1, "self-view fast path is per-image"
+
+        # NDC pixel coordinates (the projection of every sample on the ray).
+        xs = jnp.linspace(-1.0, 1.0, w, dtype=feature_map.dtype)
+        ys = jnp.linspace(-1.0, 1.0, h, dtype=feature_map.dtype)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+        xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (h*w, 2)
+
+        # One bilinear resample per FRAME (not per sample): with
+        # align_corners=False the [-1,1] pixel grid does not land on texel
+        # centers, so parity with the general path (models_bts.py:179)
+        # needs this blend. It amortizes over all K samples of every ray.
+        feats = grid_sample_2d(feature_map[0, 0][None], xy[None],
+                               align_corners=False,
+                               padding_mode="border")          # (1, h*w, c)
+
+        # Camera z of each sample: z_samp is distance along the unit ray;
+        # the ray's camera-frame direction has z-component 1/norm(dir_cam).
+        k_mat = grid.f_ks[0, 0]
+        fx, fy = k_mat[0, 0], k_mat[1, 1]
+        cx, cy = k_mat[0, 2], k_mat[1, 2]
+        dirs = jnp.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy,
+                          jnp.ones_like(xy[:, 0])], -1)
+        inv_norm = 1.0 / jnp.linalg.norm(dirs, axis=-1)        # (h*w,)
+        z_cam = z_samp * inv_norm[:, None]                      # (h*w, K)
+
+        if self.code_mode == "z":
+            coord = z_cam
+        else:
+            coord = z_samp  # distance along the ray IS the distance code
+        if self.inv_z:
+            coord = ((1.0 / jnp.maximum(coord, EPS) - 1.0 / self.z_far)
+                     / (1.0 / self.z_near - 1.0 / self.z_far))
+        else:
+            coord = (coord - self.z_near) / (self.z_far - self.z_near)
+        coord = 2.0 * coord - 1.0                               # (h*w, K)
+
+        k = z_samp.shape[-1]
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) \
+            else self.mlp_fine
+        from behindthescenes_tpu.models.mlp import ResnetFC
+        if isinstance(mlp, ResnetFC):
+            # Hoist everything constant along the ray out of the per-sample
+            # loop: the features AND the x/y positional-code dims (26 of the
+            # 39 code dims in the flagship config). Per sample only the
+            # 13-dim z-code feeds the MLP.
+            pe = self.code_xyz
+            code_xy = pe.subset((0, 1))(xy)                 # (h*w, 26)
+            code_z = pe.subset((2,))(coord[..., None])      # (h*w, K, 13)
+            rows_static = jnp.concatenate([
+                jnp.arange(c), c + jnp.asarray(pe.subset_rows((0, 1)))])
+            rows_dyn = c + jnp.asarray(pe.subset_rows((2,)))
+            x_static = jnp.concatenate([feats[0], code_xy], axis=-1)
+            out = mlp.call_split(x_static, code_z, rows_static, rows_dyn)
+            out = out.reshape(1, h * w, k, -1)[..., 0]
+        else:
+            xyz_proj = jnp.concatenate(
+                [jnp.broadcast_to(xy[:, None, :], (h * w, k, 2)),
+                 coord[..., None]], axis=-1)
+            code = self.code_xyz(xyz_proj)                  # (h*w, K, dc)
+            mlp_in = jnp.concatenate(
+                [jnp.broadcast_to(feats[0][:, None, :], (h * w, k, c)),
+                 code], axis=-1)
+            out = mlp(mlp_in.reshape(1, h * w * k, -1),
+                      combine_inner_dims=(h * w * k,))
+            out = out[..., 0].reshape(1, h * w, k)
+        sigma = nn.softplus(out) if self.sample_color else nn.relu(out)
+        return sigma
 
     @classmethod
     def from_conf(cls, conf: dict, compute_dtype=jnp.float32) -> "BTSNet":

@@ -7,7 +7,7 @@ batched matmuls that XLA (or the fused Pallas ray-march kernel) keeps in VMEM.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -57,7 +57,13 @@ class ResnetBlockFC(nn.Module):
 
 
 class ResnetFC(nn.Module):
-    """Residual FC field network (reference resnetfc.py:65-198)."""
+    """Residual FC field network (reference resnetfc.py:65-198).
+
+    Setup-style so the hot path can enter through `call_split`, which
+    exploits that along a self-view ray only the positional code changes
+    per sample: the feature half of lin_in is applied once per ray and
+    broadcast over samples.
+    """
     d_out: int = 4
     n_blocks: int = 5
     d_hidden: int = 128
@@ -66,40 +72,82 @@ class ResnetFC(nn.Module):
     combine_type: str = "average"
     use_spade: bool = False
     d_latent: int = 0
+    dtype: Any = None  # computation dtype for the matmuls (params stay f32)
 
-    @nn.compact
+    def setup(self):
+        self.lin_in = nn.Dense(self.d_hidden, kernel_init=_kaiming,
+                               dtype=self.dtype, name="lin_in")
+        self.lin_out = nn.Dense(self.d_out, kernel_init=_kaiming,
+                                dtype=self.dtype, name="lin_out")
+        self.blocks = [ResnetBlockFC(beta=self.beta, name=f"block_{i}")
+                       for i in range(self.n_blocks)]
+        if self.d_latent > 0:
+            n_lin_z = min(self.combine_layer, self.n_blocks)
+            self.lin_z = [nn.Dense(self.d_hidden, kernel_init=_kaiming,
+                                   name=f"lin_z_{i}") for i in range(n_lin_z)]
+            if self.use_spade:
+                self.scale_z = [nn.Dense(self.d_hidden, kernel_init=_kaiming,
+                                         name=f"scale_z_{i}")
+                                for i in range(n_lin_z)]
+
+    def _act(self, v):
+        if self.beta > 0:
+            return nn.softplus(self.beta * v) / self.beta
+        return nn.relu(v)
+
+    def _tail(self, x, z, combine_inner_dims):
+        for blkid in range(self.n_blocks):
+            if blkid == self.combine_layer:
+                x = combine_interleaved(x, combine_inner_dims,
+                                        self.combine_type)
+            if z is not None and blkid < self.combine_layer:
+                tz = self.lin_z[blkid](z)
+                if self.use_spade:
+                    x = self.scale_z[blkid](z) * x + tz
+                else:
+                    x = x + tz
+            x = self.blocks[blkid](x)
+        return self.lin_out(self._act(x))
+
     def __call__(self, zx, combine_inner_dims: Sequence[int] = (1,)):
-        act = (lambda v: nn.softplus(self.beta * v) / self.beta) \
-            if self.beta > 0 else nn.relu
         if self.d_latent > 0:
             z = zx[..., :self.d_latent]
             x = zx[..., self.d_latent:]
         else:
             z = None
             x = zx
-        x = nn.Dense(self.d_hidden, kernel_init=_kaiming, name="lin_in")(x)
+        x = self.lin_in(x)
+        return self._tail(x, z, combine_inner_dims)
 
-        for blkid in range(self.n_blocks):
-            if blkid == self.combine_layer:
-                x = combine_interleaved(x, combine_inner_dims,
-                                        self.combine_type)
-            if z is not None and blkid < self.combine_layer:
-                tz = nn.Dense(self.d_hidden, kernel_init=_kaiming,
-                              name=f"lin_z_{blkid}")(z)
-                if self.use_spade:
-                    sz = nn.Dense(self.d_hidden, kernel_init=_kaiming,
-                                  name=f"scale_z_{blkid}")(z)
-                    x = sz * x + tz
-                else:
-                    x = x + tz
-            x = ResnetBlockFC(beta=self.beta, name=f"block_{blkid}")(x)
+    def call_split(self, x_static, x_dynamic, rows_static=None,
+                   rows_dynamic=None):
+        """lin_in over a split input with the static half hoisted.
 
-        if self.combine_layer >= self.n_blocks and combine_inner_dims != (1,):
-            # When combining is requested past all blocks, reference semantics
-            # never reach it; keep identical behavior (no reduction).
-            pass
-        return nn.Dense(self.d_out, kernel_init=_kaiming,
-                        name="lin_out")(act(x))
+        Along a self-view ray only part of the input changes per sample;
+        the static part's contribution to lin_in is computed once per ray
+        and broadcast over samples (a large FLOP saving: the static half is
+        ~90 of the 103 input dims in the flagship config).
+
+        x_static: (..., cs) per-ray inputs; x_dynamic: (..., K, cd)
+        per-sample inputs. rows_static/rows_dynamic: index arrays mapping
+        each split input dim to its row of the lin_in kernel (default: the
+        first cs / last cd rows). Requires d_latent == 0.
+        """
+        assert self.d_latent == 0
+        kernel = self.lin_in.variables["params"]["kernel"]
+        bias = self.lin_in.variables["params"]["bias"]
+        cs = x_static.shape[-1]
+        if rows_static is None:
+            w_s = kernel[:cs]
+            w_d = kernel[cs:]
+        else:
+            w_s = kernel[jnp.asarray(rows_static)]
+            w_d = kernel[jnp.asarray(rows_dynamic)]
+        dt = self.dtype or x_static.dtype
+        h_static = jnp.dot(x_static.astype(dt), w_s.astype(dt))
+        h_dyn = jnp.dot(x_dynamic.astype(dt), w_d.astype(dt))
+        x = h_static[..., None, :] + h_dyn + bias.astype(dt)
+        return self._tail(x, None, (1,))
 
 
 class ImplicitNet(nn.Module):
@@ -132,7 +180,8 @@ class ImplicitNet(nn.Module):
         return x
 
 
-def make_mlp(conf: dict, d_out: int = 4, allow_empty: bool = False):
+def make_mlp(conf: dict, d_out: int = 4, allow_empty: bool = False,
+             dtype=None):
     """MLP factory (reference mlp_util.py:5-15): type mlp|resnet|empty."""
     mlp_type = conf.get("type", "mlp")
     if mlp_type == "mlp":
@@ -153,6 +202,7 @@ def make_mlp(conf: dict, d_out: int = 4, allow_empty: bool = False):
             combine_layer=conf.get("combine_layer", 1000),
             combine_type=conf.get("combine_type", "average"),
             use_spade=conf.get("use_spade", False),
+            dtype=dtype,
         )
     if mlp_type == "empty" and allow_empty:
         return None

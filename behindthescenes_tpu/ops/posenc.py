@@ -40,6 +40,28 @@ class PositionalEncoding:
             emb = jnp.concatenate([x, emb], axis=-1)
         return emb
 
+    def subset(self, dims) -> "PositionalEncoding":
+        """Encoder for a subset of input dims (same freqs/layout rules)."""
+        return PositionalEncoding(self.num_freqs, len(dims),
+                                  self.freq_factor, self.include_input)
+
+    def subset_rows(self, dims) -> np.ndarray:
+        """Output-dim indices of the full encoding attributable to input
+        `dims`, ordered to match `self.subset(dims)`'s output layout.
+
+        Lets callers split the code into per-ray-constant and per-sample
+        parts and hoist the constant half out of inner loops.
+        """
+        rows = []
+        if self.include_input:
+            rows += list(dims)
+        off = self.d_in if self.include_input else 0
+        for k in range(self.num_freqs):
+            base = off + 2 * self.d_in * k
+            rows += [base + j for j in dims]               # sin block
+            rows += [base + self.d_in + j for j in dims]   # cos block
+        return np.asarray(rows, dtype=np.int32)
+
     @classmethod
     def from_conf(cls, conf: dict, d_in: int = 3) -> "PositionalEncoding":
         return cls(

@@ -136,6 +136,24 @@ def sample_fine_depth(key, rays, depth, n_samples: int, depth_std: float):
     return jnp.clip(z_samp, rays[..., 6:7], rays[..., 7:8])
 
 
+def weights_from_sigma(sigma, z_samp, cfg: RendererConfig):
+    """Alpha compositing weights from densities (nerf.py:283-294).
+
+    sigma, z_samp: (..., K). Returns (weights, alphas) each (..., K).
+    """
+    deltas = z_samp[..., 1:] - z_samp[..., :-1]
+    delta_inf = jnp.full_like(deltas[..., :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)
+    alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jax.nn.relu(sigma))
+    if cfg.hard_alpha_cap:
+        alphas = alphas.at[..., -1].set(1.0)
+    alphas_shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1)
+    transmittance = jnp.cumprod(alphas_shifted, axis=-1)
+    weights = alphas * transmittance[..., :-1]
+    return weights, alphas
+
+
 def composite(query_fn: Callable, rays, z_samp, cfg: RendererConfig,
               coarse: bool = True, noise_key=None):
     """Alpha-composite the field along rays (reference nerf.py:210-313).
@@ -148,10 +166,6 @@ def composite(query_fn: Callable, rays, z_samp, cfg: RendererConfig,
       alphas (n,B,K), invalid (n,B,K,v), z_samps, rgb_samps (n,B,K,v*3).
     """
     n, b, k = z_samp.shape
-    deltas = z_samp[..., 1:] - z_samp[..., :-1]
-    delta_inf = jnp.full_like(deltas[..., :1], 1e10)
-    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)  # (n, B, K)
-
     points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
     points = points.reshape(n, b * k, 3)
 
@@ -166,15 +180,7 @@ def composite(query_fn: Callable, rays, z_samp, cfg: RendererConfig,
         sigmas = sigmas + jax.random.normal(
             noise_key, sigmas.shape, dtype=sigmas.dtype) * cfg.noise_std
 
-    alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jax.nn.relu(sigmas))
-    if cfg.hard_alpha_cap:
-        alphas = alphas.at[..., -1].set(1.0)
-
-    # T_i = prod_{j<i} (1 - alpha_j); exclusive cumprod via shifted concat.
-    alphas_shifted = jnp.concatenate(
-        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1)
-    transmittance = jnp.cumprod(alphas_shifted, axis=-1)
-    weights = alphas * transmittance[..., :-1]
+    weights, alphas = weights_from_sigma(sigmas, z_samp, cfg)
 
     rgb_final = jnp.sum(weights[..., None] * rgbs, axis=-2)      # (n, B, v*3)
     depth_final = jnp.sum(weights * z_samp, axis=-1)             # (n, B)

@@ -67,39 +67,46 @@ def build():
     variables = net.init(jax.random.PRNGKey(0), images, projs, poses,
                          jnp.zeros((1, 8, 3)))
 
+    from behindthescenes_tpu.inference import render_depth_selfview
+
+    N_FRAMES = 10
+
     def render_frame(variables, images, projs, poses, key):
         from behindthescenes_tpu.models.bts import BTSNet as _B
         grid = net.apply(variables, images, projs, poses, ids_encoder=[0],
                          ids_render=[0, 1], method=_B.encode)
+        depth, weights, _ = render_depth_selfview(
+            net, variables, grid, key, H, W, rcfg, 3.0, 80.0)
+        return depth
 
-        def query_fn(xyz, coarse):
-            return net.apply(variables, grid, xyz, coarse=coarse,
-                             method=_B.query)
+    def render_n(variables, images, projs, poses, key):
+        # N frames inside ONE compiled program: the host<->device relay in
+        # this environment adds ~28ms per dispatch+sync roundtrip, which
+        # would otherwise swamp the per-frame device time. Each iteration
+        # re-encodes (fresh image) and re-renders.
+        def body(i, acc):
+            k = jax.random.fold_in(key, i)
+            d = render_frame(variables, images + acc * 1e-9, projs, poses, k)
+            return acc + jnp.sum(d) * 1e-12
+        return jax.lax.fori_loop(0, N_FRAMES, body, jnp.float32(0.0))
 
-        rays, _ = sampler.sample(key, None, poses[:, :1], projs[:, :1])
-        out = renderer_lib.render_rays_chunked(query_fn, rays, key, rcfg,
-                                               ray_chunk=15360)
-        return out["coarse"]["depth"], out["coarse"]["rgb"]
-
-    fn = jax.jit(render_frame)
-    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1))
+    fn = jax.jit(render_n)
+    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1)), \
+        N_FRAMES
 
 
 def main():
-    fn, args = build()
-    # Warmup / compile.
-    depth, rgb = fn(*args)
-    _ = float(jnp.sum(depth))
+    fn, args, n_frames = build()
+    out = fn(*args)               # warmup/compile
+    _ = float(out)
 
     times = []
-    for _ in range(10):
+    for _ in range(4):
         t0 = time.perf_counter()
-        depth, rgb = fn(*args)
-        # Force full materialization on the host — block_until_ready can
-        # return early through the remote-execution relay.
-        _ = float(jnp.sum(depth)) + float(jnp.sum(rgb))
+        out = fn(*args)
+        _ = float(out)            # one sync per N_FRAMES frames
         times.append(time.perf_counter() - t0)
-    t_frame = float(np.median(times))
+    t_frame = float(np.median(times)) / n_frames
     rays_per_sec = H * W / t_frame
 
     print(json.dumps({

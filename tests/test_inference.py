@@ -1,0 +1,95 @@
+"""Self-view fast path parity + inference helper tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from behindthescenes_tpu import geometry
+from behindthescenes_tpu import renderer as rlib
+from behindthescenes_tpu.models.bts import BTSNet
+from behindthescenes_tpu import inference
+
+
+def _net_and_grid(h=10, w=14, code_mode="z"):
+    net = BTSNet(
+        z_near=1.0, z_far=30.0,
+        encoder_conf={"type": "dummy", "size": (h, w), "d_out": 8},
+        code_conf={"num_freqs": 4, "freq_factor": 1.5},
+        mlp_coarse_conf={"type": "resnet", "n_blocks": 0, "d_hidden": 16},
+        mlp_fine_conf={"type": "empty"},
+        learn_empty=False, code_mode=code_mode,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 2, h, w, 3)),
+                         dtype=jnp.float32)
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)).at[:, 1, 0, 3].set(0.3)
+    ks = jnp.broadcast_to(
+        jnp.asarray([[0.8, 0, 0], [0, 1.1, 0], [0, 0, 1.0]]), (1, 2, 3, 3))
+    variables = net.init(jax.random.PRNGKey(0), images, ks, poses,
+                         jnp.zeros((1, 8, 3)))
+    grid = net.apply(variables, images, ks, poses, ids_encoder=[0],
+                     ids_render=[0, 1], method=BTSNet.encode)
+    return net, variables, grid, poses, ks
+
+
+def test_selfview_density_matches_general_path():
+    h, w = 10, 14
+    for code_mode in ("z", "distance"):
+        net, variables, grid, poses, ks = _net_and_grid(h, w, code_mode)
+
+        # Rays through every pixel of the encoder camera (view 0).
+        focal = jnp.stack([ks[0, :1, 0, 0], ks[0, :1, 1, 1]], -1)
+        c = jnp.stack([ks[0, :1, 0, 2], ks[0, :1, 1, 2]], -1)
+        rays = geometry.gen_rays(poses[0, :1], w, h, 1.0, 30.0, focal=focal,
+                                 c=c, norm_dir=True).reshape(-1, 8)
+
+        k = 6
+        z_samp = rlib.sample_coarse(jax.random.PRNGKey(1), rays, k, True)
+
+        # General path: world points -> query -> sigma.
+        pts = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
+        _, _, sigma_gen = net.apply(variables, grid,
+                                    pts.reshape(1, -1, 3),
+                                    method=BTSNet.query)
+        sigma_gen = np.asarray(sigma_gen).reshape(h * w, k)
+
+        # Fast path.
+        sigma_fast = net.apply(variables, grid, z_samp,
+                               method=BTSNet.query_selfview_density)
+        sigma_fast = np.asarray(sigma_fast).reshape(h * w, k)
+
+        np.testing.assert_allclose(sigma_fast, sigma_gen, atol=2e-4,
+                                   err_msg=f"code_mode={code_mode}")
+
+
+def test_render_depth_selfview_wall_scene():
+    # A network is hard to control; instead check the plumbing returns
+    # finite values in [z_near, z_far] and the right shapes.
+    h, w = 10, 14
+    net, variables, grid, poses, ks = _net_and_grid(h, w)
+    cfg = rlib.RendererConfig(n_coarse=16, lindisp=True, hard_alpha_cap=True)
+    depth, weights, z_samp = inference.render_depth_selfview(
+        net, variables, grid, jax.random.PRNGKey(0), h, w, cfg, 1.0, 30.0)
+    d = np.asarray(depth)
+    assert d.shape == (1, h, w)
+    assert np.isfinite(d).all()
+    assert d.min() >= 0 and d.max() <= 30.0 + 1e-3
+    assert np.asarray(weights).shape == (1, h * w, 16)
+
+
+def test_render_profile_shapes():
+    net, variables, grid, poses, ks = _net_and_grid()
+    profile, sigma = inference.render_profile(
+        net, variables, grid, x_range=(-2, 2), z_range=(6, 2), ppm=2.0)
+    assert profile.shape == (8, 8)
+    assert np.isfinite(np.asarray(profile)).all()
+
+
+def test_render_poses_shapes():
+    h, w = 10, 14
+    net, variables, grid, poses, ks = _net_and_grid(h, w)
+    cfg = rlib.RendererConfig(n_coarse=8, lindisp=True, hard_alpha_cap=True)
+    out = inference.render_poses(net, variables, grid, jax.random.PRNGKey(0),
+                                 poses[0], ks[0], h, w, cfg, 1.0, 30.0)
+    assert out["rgb"].shape == (2, h, w, 3)
+    assert out["depth"].shape == (2, h, w)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
