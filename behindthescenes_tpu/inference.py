@@ -36,7 +36,7 @@ def render_depth_selfview(net: BTSNet, variables, grid: FeatureGrid, key,
                                         cfg.lindisp)            # (hw, K)
     sigma = net.apply(variables, grid, z_samp,
                       method=BTSNet.query_selfview_density,
-                      scale=scale)                               # (1, hw, K)
+                      scale=scale, out_hw=(height, width))       # (1, hw, K)
     weights, _ = renderer_lib.weights_from_sigma(sigma[0], z_samp, cfg)
     depth = jnp.sum(weights * z_samp, axis=-1).reshape(1, height, width)
     if as_z_depth:

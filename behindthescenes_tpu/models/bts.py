@@ -338,7 +338,8 @@ class BTSNet(nn.Module):
         return rgb, invalid.astype(rgb.dtype), sigma
 
     def query_selfview_density(self, grid: FeatureGrid, z_samp,
-                               coarse: bool = True, scale: int = 0):
+                               coarse: bool = True, scale: int = 0,
+                               out_hw=None):
         """Dense density query for rays cast FROM the encoder camera itself.
 
         TPU-first specialization absent from the reference: when rendering
@@ -358,8 +359,9 @@ class BTSNet(nn.Module):
           sigma: (1, h*w, K).
         """
         feature_map = grid.features[scale]
-        n, nv, h, w, c = feature_map.shape
+        n, nv, fh, fw, c = feature_map.shape
         assert n == 1, "self-view fast path is per-image"
+        h, w = out_hw if out_hw is not None else (fh, fw)
 
         # NDC pixel coordinates (the projection of every sample on the ray).
         xs = jnp.linspace(-1.0, 1.0, w, dtype=feature_map.dtype)

@@ -101,6 +101,27 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def restore_replicated(self, step: Optional[int] = None) -> dict:
+        """Restore ignoring the saving topology: every leaf comes back
+        replicated on the current devices (checkpoints saved on an 8-device
+        mesh must load on 1 chip and vice versa)."""
+        step = step if step is not None else self.manager.latest_step()
+        item_dir = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.StandardCheckpointer()
+        meta = ckptr.metadata(item_dir)
+        tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") \
+            else meta
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def to_abstract(m):
+            return jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                        sharding=sharding)
+
+        target = jax.tree_util.tree_map(
+            to_abstract, tree,
+            is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"))
+        return ckptr.restore(item_dir, target)
+
     def restore(self, state: TrainState, step: Optional[int] = None):
         step = step if step is not None else self.manager.latest_step()
         if step is None:

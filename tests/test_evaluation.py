@@ -1,0 +1,87 @@
+"""Evaluator tests on synthetic data + metric self-consistency."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from behindthescenes_tpu import renderer as rlib
+from behindthescenes_tpu.datasets.synthetic import SyntheticBoxDataset, collate
+from behindthescenes_tpu.evaluation import metrics as M
+from behindthescenes_tpu.evaluation.depth import DepthEvaluator
+from behindthescenes_tpu.evaluation.nvs import NVSEvaluator
+from behindthescenes_tpu.models.bts import BTSNet
+
+
+def test_uniform_filter_matches_naive():
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((12, 15))
+    got = M._uniform_filter(img, 7)
+    h, w = img.shape
+    naive = np.zeros((h - 6, w - 6))
+    for i in range(h - 6):
+        for j in range(w - 6):
+            naive[i, j] = img[i:i + 7, j:j + 7].mean()
+    np.testing.assert_allclose(got, naive, atol=1e-10)
+
+
+def test_ssim_psnr_properties():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (32, 40, 3))
+    assert abs(M.ssim(img, img) - 1.0) < 1e-9
+    assert M.psnr(img, img) == float("inf")
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1)
+    s = M.ssim(noisy, img)
+    p = M.psnr(noisy, img)
+    assert 0 < s < 1
+    assert 15 < p < 25  # sigma=0.1 noise -> ~20dB
+
+
+def _tiny_net(h, w):
+    return BTSNet(
+        z_near=1.0, z_far=40.0,
+        encoder_conf={"type": "dummy", "size": (h, w), "d_out": 8},
+        code_conf={"num_freqs": 4, "freq_factor": 1.5},
+        mlp_coarse_conf={"type": "resnet", "n_blocks": 0, "d_hidden": 16},
+        mlp_fine_conf={"type": "empty"},
+        learn_empty=False,
+    )
+
+
+def test_depth_evaluator_synthetic():
+    h, w = 24, 32
+    ds = SyntheticBoxDataset(length=2, frame_count=2, height=h, width=w,
+                             return_depth=True)
+    batch = collate([ds[0]])
+    net = _tiny_net(h, w)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.asarray(batch["imgs"]),
+                         jnp.asarray(batch["projs"]),
+                         jnp.asarray(batch["poses"]),
+                         jnp.zeros((1, 8, 3)))
+    cfg = rlib.RendererConfig(n_coarse=12, lindisp=True, hard_alpha_cap=True)
+    for scaling in (None, "median", "l2"):
+        ev = DepthEvaluator(net, cfg, {"z_near": 1.0, "z_far": 40.0,
+                                       "depth_scaling": scaling},
+                            eval_nvs=True)
+        out = ev.evaluate(variables, batch)
+        keys = {"abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3",
+                "ssim", "psnr"}
+        assert keys <= set(out)
+        assert all(np.isfinite(v) for v in out.values()), (scaling, out)
+
+
+def test_nvs_evaluator_synthetic():
+    h, w = 24, 32
+    ds = SyntheticBoxDataset(length=1, frame_count=3, height=h, width=w,
+                             return_depth=False)
+    batch = collate([ds[0]])
+    net = _tiny_net(h, w)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.asarray(batch["imgs"]),
+                         jnp.asarray(batch["projs"]),
+                         jnp.asarray(batch["poses"]),
+                         jnp.zeros((1, 8, 3)))
+    cfg = rlib.RendererConfig(n_coarse=8, lindisp=True, hard_alpha_cap=True)
+    ev = NVSEvaluator(net, cfg, {"z_near": 1.0, "z_far": 40.0})
+    out = ev.evaluate(variables, batch)
+    assert set(out) == {"psnr", "ssim"}
+    assert np.isfinite(list(out.values())).all()
