@@ -140,6 +140,40 @@ def rebase_poses_to_keyframe(poses: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(to_base, poses, precision="highest")
 
 
+def look_at(origin, target, world_up=(0.0, 1.0, 0.0)):
+    """Camera-to-world matrix looking from origin at target
+    (reference util.py:180-196). numpy, host-side."""
+    import numpy as np
+    origin = np.asarray(origin, dtype=np.float32)
+    target = np.asarray(target, dtype=np.float32)
+    world_up = np.asarray(world_up, dtype=np.float32)
+    back = origin - target
+    back = back / np.linalg.norm(back)
+    right = np.cross(world_up, back)
+    right = right / np.linalg.norm(right)
+    up = np.cross(back, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = up
+    c2w[:3, 2] = back
+    c2w[:3, 3] = origin
+    return c2w
+
+
+def coord_from_blender():
+    """Blender -> standard coords (reference util.py:152-163)."""
+    import numpy as np
+    return np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0],
+                     [0, 0, 0, 1]], dtype=np.float32)
+
+
+def coord_to_blender():
+    """Standard -> Blender coords (reference util.py:166-177)."""
+    import numpy as np
+    return np.array([[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0],
+                     [0, 0, 0, 1]], dtype=np.float32)
+
+
 def project_points(xyz: jnp.ndarray, poses_w2c: jnp.ndarray, ks: jnp.ndarray,
                    eps: float = 1e-3):
     """Project world points into NDC image coordinates of multiple cameras.

@@ -39,7 +39,29 @@ def bts_get_dataflow(config):
 
 def bts_training(config):
     trainer = BTSTrainer(config)
-    return base_training(config, bts_get_dataflow, trainer=trainer)
+    visualize = None
+    on_iteration = None
+    if config.get("tensorboard", True):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            import os
+            writer = SummaryWriter(os.path.join(
+                config.get("output_path", "out/run"), "tb"))
+            from behindthescenes_tpu.training.visualize import \
+                make_tb_visualizer
+            visualize = make_tb_visualizer(writer)
+
+            log_tb_every = config.get("log_tb_train_every_iters", 50)
+
+            def on_iteration(it, state, loss_dict):
+                if log_tb_every > 0 and it % log_tb_every == 0:
+                    for k, v in loss_dict.items():
+                        writer.add_scalar(f"train/{k}", float(v),
+                                          global_step=it)
+        except ImportError:
+            pass
+    return base_training(config, bts_get_dataflow, trainer=trainer,
+                         visualize=visualize, on_iteration=on_iteration)
 
 
 class _CachedBatchLoader:
