@@ -277,9 +277,17 @@ class BTSNet(nn.Module):
         """
         xy, z, distance, invalid = geometry.project_points(
             xyz, grid.c_poses_w2c, grid.c_ks, eps=EPS)
-        colors = grid_sample_2d(grid.color_imgs, xy, align_corners=False,
-                                padding_mode="border",
-                                mode=self.color_interpolation)
+        if self.color_interpolation == "bilinear":
+            # One wide row-gather per point instead of four narrow ones
+            # (RGB rows are only 12 bytes; gather cost is per-row).
+            from behindthescenes_tpu.ops.grid_sample import (
+                grid_sample_2d_packed, pack_corners)
+            colors = grid_sample_2d_packed(pack_corners(grid.color_imgs), xy)
+        else:
+            colors = grid_sample_2d(grid.color_imgs, xy,
+                                    align_corners=False,
+                                    padding_mode="border",
+                                    mode=self.color_interpolation)
         if grid.c_combine is not None:
             colors, invalid = _combine_first_valid(colors, invalid,
                                                    grid.c_combine)
