@@ -50,3 +50,20 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def make_mesh_2d(devices=None, data: int = 1, rays: int = 0) -> Mesh:
+    """2-D mesh (data, rays): batches shard over `data`; full-frame renders
+    shard their ray dimension over `rays` — the model's sequence-parallel
+    analogue (SURVEY.md §5.7: rays are embarrassingly parallel given the
+    replicated feature grid)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if rays <= 0:
+        rays = len(devices) // data
+    assert data * rays == len(devices)
+    return Mesh(np.asarray(devices).reshape(data, rays), ("data", "rays"))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (n, B, 8) ray tensors over the ray axis (dim 1)."""
+    return NamedSharding(mesh, P(None, "rays"))
