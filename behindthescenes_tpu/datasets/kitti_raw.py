@@ -313,8 +313,27 @@ class KittiRawDataset:
                              "data", f"{ids[0]:010d}.bin"),
                 dtype=np.float32).reshape(-1, 4)
             p_mat = calibs["P_v2cl" if not is_right else "P_v2cr"]
-            out["depths"] = project_velodyne_to_depth(
-                pts, p_mat, BASE_SIZES[day], self.eigen_depth)[None]
+            if os.environ.get("BTS_NATIVE_DEPTH"):
+                # Native single-pass projector (per-pixel min depth) —
+                # faster but not bug-compatible with the reference's
+                # Counter-hash duplicate resolution; opt-in.
+                from behindthescenes_tpu import native
+                depth = native.project_velodyne_depth(
+                    pts, p_mat, BASE_SIZES[day])
+                if self.eigen_depth:
+                    size = BASE_SIZES[day]
+                    mask = np.logical_and(depth > 1e-3, depth < 80)
+                    crop = np.array([0.40810811 * size[0],
+                                     0.99189189 * size[0],
+                                     0.03594771 * size[1],
+                                     0.96405229 * size[1]]).astype(np.int32)
+                    cm = np.zeros(mask.shape, dtype=bool)
+                    cm[crop[0]:crop[1], crop[2]:crop[3]] = True
+                    depth[~np.logical_and(mask, cm)] = 0
+                out["depths"] = depth[None, None]
+            else:
+                out["depths"] = project_velodyne_to_depth(
+                    pts, p_mat, BASE_SIZES[day], self.eigen_depth)[None]
         return out
 
     @classmethod

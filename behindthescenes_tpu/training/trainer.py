@@ -61,10 +61,16 @@ def _alternating_mask(params, train_encoder):
 class BTSTrainer:
     """Builds and owns the compiled steps for one task config."""
 
-    def __init__(self, config: dict, mesh=None, compute_dtype=jnp.float32):
+    def __init__(self, config: dict, mesh=None, compute_dtype=None):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
         model_conf = config["model_conf"]
+        if compute_dtype is None:
+            # bf16 activations by default on TPU (reference gates AMP off on
+            # xla-tpu, train.py:26-27; bf16 needs no loss scaling). Params,
+            # BN stats, and the loss stay f32.
+            compute_dtype = jnp.bfloat16 if config.get("bf16", True) \
+                else jnp.float32
         self.net = BTSNet.from_conf(model_conf, compute_dtype=compute_dtype)
         self.renderer_cfg = renderer_lib.RendererConfig.from_conf(
             config.get("renderer", {}))
