@@ -56,6 +56,8 @@ class HarnessConfig:
     resume_from: Optional[str] = None
     save_best_metric: Optional[str] = None
     save_best_sign: int = -1          # -1: lower is better
+    stop_on_nan_check_every: int = 0  # 1 = check every iteration
+    debug_nans: bool = False          # jax_debug_nans (slow; debugging)
 
     @classmethod
     def from_conf(cls, conf: dict) -> "HarnessConfig":
@@ -71,6 +73,8 @@ class HarnessConfig:
             resume_from=conf.get("resume_from", None),
             save_best_metric=best.get("metric"),
             save_best_sign=best.get("sign", -1),
+            stop_on_nan_check_every=conf.get("stop_on_nan_check_every", 0),
+            debug_nans=conf.get("debug_nans", False),
         )
 
 
@@ -164,6 +168,10 @@ def base_training(config: dict, get_dataflow: Callable,
         {k: v for k, v in config.items() if not isinstance(v, dict)},
         default=str))
 
+    if hc.debug_nans:
+        # NaN provenance (SURVEY §5.2: the rebuild gets this for free).
+        jax.config.update("jax_debug_nans", True)
+
     trainer = trainer or BTSTrainer(config)
     train_loader, val_loader, vis_loader = get_dataflow(config)
 
@@ -200,6 +208,16 @@ def base_training(config: dict, get_dataflow: Callable,
             key, sub = jax.random.split(key)
             state, loss_dict = trainer.train_step(state, batch, sub, it)
             it += 1
+
+            # TerminateOnNan (reference utils/base_trainer.py:261,317).
+            if it % hc.log_every == 0 or hc.stop_on_nan_check_every == 1:
+                loss_val = float(loss_dict.get("loss", 0.0))
+                if not np.isfinite(loss_val):
+                    ckpt.save(it, state, extra={
+                        "render_sched": trainer.scheduler.state_dict()})
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at iteration {it}; "
+                        "checkpoint saved")
 
             if it % hc.log_every == 0:
                 loss_dict = {k: float(v) for k, v in loss_dict.items()}

@@ -122,6 +122,11 @@ class BTSTrainer:
             if alternating:
                 grads = _alternating_mask(grads, train_encoder)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            if alternating:
+                # Also mask the updates: Adam momentum would otherwise keep
+                # moving "frozen" params (torch requires_grad=False skips
+                # them entirely, reference trainer.py:101-112).
+                updates = _alternating_mask(updates, train_encoder)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(params=new_params, batch_stats=new_bs,
                                    opt_state=new_opt, step=state.step + 1)

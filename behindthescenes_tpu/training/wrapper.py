@@ -97,20 +97,20 @@ class BTSWrapper:
         images_ip = ip(images)
 
         if self.use_automasking and train:
-            # Per-pixel min reconstruction error across candidate render
-            # views, appended as an extra supervision channel
-            # (reference trainer.py:201-206).
-            ref_imgs = images_ip[..., :3] * 0.5
-            rend = jnp.take(images_ip[..., :3], ids.ids_loss, axis=1) * 0.5
-            nv_r = rend.shape[1]
+            # Baseline reconstruction error achievable by copying a loss
+            # frame, appended as a supervision channel that flows through
+            # the render (reference trainer.py:201-206: both sides at 0.5x,
+            # mean over the candidate frames).
+            ref_imgs = images_ip * 0.5                      # (n, v, h, w, 3)
+            cand = jnp.take(images_ip, ids.ids_loss, axis=1) * 0.5
+            n_cand = cand.shape[1]
             a = jnp.broadcast_to(ref_imgs[:, :, :, :, None, :],
-                                 (n, v, h, w, nv_r, 3)).reshape(
-                                     n, v * 1, h, w, nv_r, 3)
-            bimg = jnp.broadcast_to(rend[:, None], (n, v, nv_r, h, w, 3))
-            bimg = bimg.transpose(0, 1, 3, 4, 2, 5).reshape(
-                n, v, h, w, nv_r, 3)
-            errors = compute_errors_l1ssim(a, bimg[..., :1, :])
-            errors = jnp.mean(errors, axis=-2)  # (n, v, h, w, 1)
+                                 (n, v, h, w, n_cand, 3))
+            b = jnp.broadcast_to(
+                cand.transpose(0, 2, 3, 1, 4)[:, None],
+                (n, v, h, w, n_cand, 3))
+            errors = compute_errors_l1ssim(a, b)            # (n,v,h,w,nc,1)
+            errors = jnp.mean(errors, axis=-2)              # (n, v, h, w, 1)
             images_ip = jnp.concatenate([images_ip, errors], axis=-1)
 
         do_flip = (jax.random.uniform(k_flip, ()) > 0.5) \
@@ -119,8 +119,9 @@ class BTSWrapper:
         mutable = ["batch_stats"] if train else False
         encode_kwargs = dict(
             ids_encoder=ids.ids_encoder, ids_render=ids.ids_render,
-            images_alt=images_ip[..., :3] if self.use_automasking
-            else (images_ip if images_ip.shape[-1] == 3 else None),
+            # The render/color images are the processed images (with the
+            # automask channel when enabled — it renders like a color).
+            images_alt=images_ip,
             combine_ids=ids.combine_ids, do_flip=do_flip, train=train)
         if mutable:
             grid, updates = net.apply(variables, images, projs, poses,

@@ -1,0 +1,105 @@
+"""Training-mode coverage: automasking, alternating freezing, frame-sample
+modes, sample-count schedule."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from behindthescenes_tpu.datasets.synthetic import SyntheticBoxDataset, collate
+from behindthescenes_tpu.parallel.mesh import make_mesh
+from behindthescenes_tpu.training.trainer import BTSTrainer
+from behindthescenes_tpu.training.view_select import select_views
+
+
+def _config(h, w, **model_overrides):
+    mc = {
+        "arch": "BTSNet", "z_near": 1.0, "z_far": 40.0, "inv_z": True,
+        "learn_empty": False,
+        "encoder": {"type": "dummy", "size": (h, w), "d_out": 16},
+        "code": {"num_freqs": 4, "freq_factor": 1.5},
+        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 32},
+        "mlp_fine": {"type": "empty"},
+        "n_frames_render": 2, "frame_sample_mode": "default",
+        "sample_mode": "patch", "patch_size": 4, "ray_batch_size": 64,
+        "prediction_mode": "default", "flip_augmentation": False,
+    }
+    mc.update(model_overrides)
+    return {
+        "seed": 0, "learning_rate": 1e-3, "bf16": False,
+        "model_conf": mc,
+        "loss": {"criterion": "l1+ssim", "invalid_policy": "weight_guided"},
+        "renderer": {"n_coarse": 8, "lindisp": True,
+                     "hard_alpha_cap": True},
+        "scheduler": {"type": "fix"},
+    }
+
+
+def _batch(h, w, v=4):
+    ds = SyntheticBoxDataset(length=1, frame_count=v, height=h, width=w,
+                             return_depth=False)
+    b = collate([ds[0]])
+    return {k: jnp.asarray(x) for k, x in b.items()}
+
+
+def _run_steps(config, batch, n=3):
+    trainer = BTSTrainer(config, mesh=make_mesh(jax.devices()[:1]))
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(batch, key)
+    losses = []
+    for i in range(n):
+        key, sub = jax.random.split(key)
+        state, ld = trainer.train_step(state, batch, sub, i)
+        losses.append(float(ld["loss"]))
+    return trainer, state, losses
+
+
+def test_automasking_trains():
+    h, w = 24, 32
+    cfg = _config(h, w, use_automasking=True)
+    _, _, losses = _run_steps(cfg, _batch(h, w))
+    assert np.isfinite(losses).all(), losses
+
+
+def test_alternating_ratio_freezes_halves():
+    h, w = 24, 32
+    cfg = _config(h, w, alternating_ratio=1)
+    trainer = BTSTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    batch = _batch(h, w)
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(batch, key)
+
+    p0_enc = np.asarray(state.params["encoder"]["feats"])
+    p0_mlp = np.asarray(state.params["mlp_coarse"]["lin_in"]["kernel"])
+
+    # Step 0: phase < ratio -> encoder trains, mlp frozen.
+    state, _ = trainer.train_step(state, batch, key, 0)
+    p1_enc = np.asarray(state.params["encoder"]["feats"])
+    p1_mlp = np.asarray(state.params["mlp_coarse"]["lin_in"]["kernel"])
+    assert not np.allclose(p0_enc, p1_enc)
+    np.testing.assert_allclose(p0_mlp, p1_mlp)
+
+    # Step 1: phase == ratio -> mlp trains, encoder frozen.
+    state, _ = trainer.train_step(state, batch, key, 1)
+    p2_enc = np.asarray(state.params["encoder"]["feats"])
+    p2_mlp = np.asarray(state.params["mlp_coarse"]["lin_in"]["kernel"])
+    np.testing.assert_allclose(p1_enc, p2_enc)
+    assert not np.allclose(p1_mlp, p2_mlp)
+
+
+def test_frame_sample_modes_shapes():
+    rng = np.random.default_rng(0)
+    for mode, v in (("default", 4), ("only", 4), ("not", 4), ("stereo", 4),
+                    ("mono", 8), ("kitti360-mono", 8)):
+        ids = select_views(rng, v, [0, 1], mode, training=True)
+        all_ids = np.concatenate([ids.ids_loss, ids.ids_render])
+        assert all_ids.min() >= 0 and all_ids.max() < v, (mode, all_ids)
+        # loss and render sets are disjoint in all these modes
+        assert not (set(ids.ids_loss.tolist())
+                    & set(ids.ids_render.tolist())), mode
+
+
+def test_waymo_mode_combine_ids():
+    rng = np.random.default_rng(0)
+    ids = select_views(rng, 12, [0, 1], "waymo-3", training=False)
+    assert ids.combine_ids is not None
+    assert list(ids.ids_encoder) == [0, 4, 8]
+    assert len(ids.combine_ids) == 4
