@@ -97,36 +97,43 @@ class LPIPSVGG:
             return cls(path)
         return None
 
+    def features(self, x, num_stages: int = 5):
+        """VGG16 stage activations (relu1_2 .. relu5_3).
+
+        x: (n, h, w, 3) in [-1, 1]. Returns list of NHWC feature arrays.
+        """
+        import jax
+        import jax.numpy as jnp
+        x = (x - self.shift) / self.scale
+        feats = []
+        ci = 0
+        h = x
+        # VGG16 conv structure: [2, 2, 3, 3, 3] convs per stage.
+        for stage, n_convs in enumerate((2, 2, 3, 3, 3)[:num_stages]):
+            for _ in range(n_convs):
+                h = jax.lax.conv_general_dilated(
+                    h, jnp.asarray(self.conv_w[ci]), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = jax.nn.relu(h + jnp.asarray(self.conv_b[ci]))
+                ci += 1
+            feats.append(h)
+            if stage < 4:
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                    (1, 2, 2, 1), "VALID")
+        return feats
+
+    # Per-stage channel counts (VGG16 relu1_2..relu5_3).
+    CHANNELS = (64, 128, 256, 512, 512)
+
     def __call__(self, pred: np.ndarray, gt: np.ndarray) -> float:
         """pred, gt: (h, w, 3) in [0, 1]."""
         import jax.numpy as jnp
-        import jax
-
-        def vgg_feats(x):
-            # x in [-1, 1] normalized by LPIPS shift/scale
-            x = (x - self.shift) / self.scale
-            feats = []
-            ci = 0
-            h = x
-            # VGG16 conv structure: [2, 2, 3, 3, 3] convs per stage
-            for stage, n_convs in enumerate((2, 2, 3, 3, 3)):
-                for _ in range(n_convs):
-                    h = jax.lax.conv_general_dilated(
-                        h, jnp.asarray(self.conv_w[ci]), (1, 1), "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                    h = jax.nn.relu(h + jnp.asarray(self.conv_b[ci]))
-                    ci += 1
-                feats.append(h)
-                if stage < 4:
-                    h = jax.lax.reduce_window(
-                        h, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
-                        (1, 2, 2, 1), "VALID")
-            return feats
 
         a = jnp.asarray(pred, dtype=jnp.float32)[None] * 2 - 1
         b = jnp.asarray(gt, dtype=jnp.float32)[None] * 2 - 1
-        fa = vgg_feats(a)
-        fb = vgg_feats(b)
+        fa = self.features(a)
+        fb = self.features(b)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
             na = xa / (jnp.linalg.norm(xa, axis=-1, keepdims=True) + 1e-10)

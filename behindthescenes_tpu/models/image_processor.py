@@ -41,15 +41,50 @@ class PatchProcessor:
         return jnp.concatenate(patches, axis=-1)
 
 
+class PerceptualProcessor:
+    """LPIPS-VGG feature channels as the supervision space
+    (reference image_processor.py:32-66): unit-normalized activations of
+    the first `layers` VGG stages, resized to image resolution.
+
+    Needs local VGG weights (see scripts/convert_lpips_weights.py);
+    zero-egress environments without them get a clear error.
+    """
+
+    def __init__(self, layers: int = 1, weights=None):
+        from behindthescenes_tpu.evaluation.metrics import LPIPSVGG
+        self._vgg = LPIPSVGG.maybe_create(weights)
+        if self._vgg is None:
+            raise NotImplementedError(
+                "perceptual image processor needs LPIPS-VGG weights: set "
+                "BTS_LPIPS_WEIGHTS (scripts/convert_lpips_weights.py)")
+        self._layers = layers
+        self.channels = sum(LPIPSVGG.CHANNELS[:layers])
+
+    def __call__(self, images):
+        n, v, h, w, c = images.shape
+        x = images.reshape(n * v, h, w, c)
+        feats = self._vgg.features(x, num_stages=self._layers)
+        outs = []
+        for f in feats:
+            norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True)) + 1e-10
+            f = f / norm
+            if f.shape[1:3] != (h, w):
+                ys = (jnp.arange(h) * (f.shape[1] / h)).astype(jnp.int32)
+                xs = (jnp.arange(w) * (f.shape[2] / w)).astype(jnp.int32)
+                f = f[:, ys][:, :, xs]
+            outs.append(f)
+        out = jnp.concatenate(outs, axis=-1)
+        return out.reshape(n, v, h, w, self.channels)
+
+
 def make_image_processor(conf: dict):
     """Factory (reference image_processor.py:9-19)."""
-    ptype = conf.get("type", "rgb")
+    ptype = conf.get("type", "rgb").lower()
     if ptype == "rgb":
         return RGBProcessor()
     if ptype == "patch":
         return PatchProcessor(conf.get("patch_size", 3))
     if ptype == "perceptual":
-        raise NotImplementedError(
-            "perceptual image processor requires the LPIPS-VGG port "
-            "(planned; reference image_processor.py:32-66)")
+        return PerceptualProcessor(conf.get("layers", 1),
+                                   conf.get("weights"))
     raise NotImplementedError(f"Unsupported image processor: {ptype}")
