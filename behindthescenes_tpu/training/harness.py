@@ -58,6 +58,9 @@ class HarnessConfig:
     save_best_sign: int = -1          # -1: lower is better
     stop_on_nan_check_every: int = 0  # 1 = check every iteration
     debug_nans: bool = False          # jax_debug_nans (slow; debugging)
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    profile_steps: tuple = (10, 20)    # (start_iter, stop_iter)
+    eval_use_iters: bool = True        # False: validate at epoch ends
 
     @classmethod
     def from_conf(cls, conf: dict) -> "HarnessConfig":
@@ -75,6 +78,9 @@ class HarnessConfig:
             save_best_sign=best.get("sign", -1),
             stop_on_nan_check_every=conf.get("stop_on_nan_check_every", 0),
             debug_nans=conf.get("debug_nans", False),
+            profile_dir=conf.get("profile_dir", None),
+            profile_steps=tuple(conf.get("profile_steps", (10, 20))),
+            eval_use_iters=conf.get("eval_use_iters", True),
         )
 
 
@@ -206,6 +212,14 @@ def base_training(config: dict, get_dataflow: Callable,
             t_data = time.time() - t_iter
             batch = shard_batch(batch, trainer.mesh)
             key, sub = jax.random.split(key)
+            # Profiler window (reference §5.1: torch.profiler scopes ->
+            # jax.profiler traces).
+            if hc.profile_dir and it == hc.profile_steps[0]:
+                jax.profiler.start_trace(hc.profile_dir)
+            if hc.profile_dir and it == hc.profile_steps[1]:
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", hc.profile_dir)
+
             state, loss_dict = trainer.train_step(state, batch, sub, it)
             it += 1
 
@@ -235,7 +249,8 @@ def base_training(config: dict, get_dataflow: Callable,
                 ckpt.save(it, state, extra={
                     "render_sched": trainer.scheduler.state_dict()})
 
-            if val_loader is not None and it % hc.validate_every == 0:
+            def validate_now():
+                nonlocal best_value
                 metrics = run_validation(trainer, state, val_loader)
                 log.info("validation @ %d: %s", it,
                          {k: round(v, 5) for k, v in metrics.items()})
@@ -248,6 +263,10 @@ def base_training(config: dict, get_dataflow: Callable,
                                  hc.save_best_metric,
                                  metrics[hc.save_best_metric], it)
 
+            if (val_loader is not None and hc.eval_use_iters
+                    and it % hc.validate_every == 0):
+                validate_now()
+
             if (vis_loader is not None and visualize is not None
                     and it % hc.visualize_every == 0):
                 visualize(trainer, state, vis_loader, it)
@@ -256,6 +275,11 @@ def base_training(config: dict, get_dataflow: Callable,
                 ckpt.save(it, state, extra={
                     "render_sched": trainer.scheduler.state_dict()})
                 return state
+
+        # Epoch-end validation (reference eval_use_iters=False mode,
+        # utils/base_trainer.py:98-110).
+        if val_loader is not None and not hc.eval_use_iters:
+            validate_now()
 
     ckpt.save(it, state,
               extra={"render_sched": trainer.scheduler.state_dict()})
