@@ -140,6 +140,37 @@ def rebase_poses_to_keyframe(poses: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(to_base, poses, precision="highest")
 
 
+def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (w, x, y, z) batch -> rotation matrices
+    (reference util.py:481-510). q: (..., 4) -> (..., 3, 3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    rot = jnp.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], axis=-1)
+    return rot.reshape(q.shape[:-1] + (3, 3))
+
+
+def rot_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices -> unit quaternions (w, x, y, z)
+    (reference util.py:513-525 semantics; numerically-stable branch-free
+    form). rot: (..., 3, 3) -> (..., 4)."""
+    m00, m01, m02 = rot[..., 0, 0], rot[..., 0, 1], rot[..., 0, 2]
+    m10, m11, m12 = rot[..., 1, 0], rot[..., 1, 1], rot[..., 1, 2]
+    m20, m21, m22 = rot[..., 2, 0], rot[..., 2, 1], rot[..., 2, 2]
+    tr = m00 + m11 + m22
+    w = jnp.sqrt(jnp.maximum(0.0, 1 + tr)) / 2
+    x = jnp.sqrt(jnp.maximum(0.0, 1 + m00 - m11 - m22)) / 2
+    y = jnp.sqrt(jnp.maximum(0.0, 1 - m00 + m11 - m22)) / 2
+    z = jnp.sqrt(jnp.maximum(0.0, 1 - m00 - m11 + m22)) / 2
+    x = x * jnp.sign(jnp.where(m21 - m12 == 0, 1.0, m21 - m12))
+    y = y * jnp.sign(jnp.where(m02 - m20 == 0, 1.0, m02 - m20))
+    z = z * jnp.sign(jnp.where(m10 - m01 == 0, 1.0, m10 - m01))
+    return jnp.stack([w, x, y, z], axis=-1)
+
+
 def look_at(origin, target, world_up=(0.0, 1.0, 0.0)):
     """Camera-to-world matrix looking from origin at target
     (reference util.py:180-196). numpy, host-side."""

@@ -213,7 +213,7 @@ class BTSNet(nn.Module):
         do_flip = jnp.asarray(do_flip)
         imgs = jnp.where(do_flip, images_encoder[:, :, :, ::-1, :],
                          images_encoder)
-        latents = self.encoder(imgs.reshape(n * nv, h, w, 3), train=train)
+        latents = self.encoder(imgs.reshape(n * nv, h, w, 3), train)
         latents = [jnp.where(do_flip, l[:, :, ::-1, :], l) for l in latents]
 
         h0, w0 = latents[0].shape[1:3]

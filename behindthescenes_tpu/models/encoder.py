@@ -286,10 +286,19 @@ class EncoderDummy(nn.Module):
 
 
 def make_backbone(conf: dict, compute_dtype=jnp.float32):
-    """Backbone factory (reference backbone_util.py:6-16)."""
+    """Backbone factory (reference backbone_util.py:6-16).
+
+    conf["remat"]: rematerialize the CNN in the backward pass
+    (jax.checkpoint) — trades ~30% step time for the encoder's activation
+    memory, the difference between batch 4 and batch 16 fitting on a 16GB
+    chip at 192x640.
+    """
     btype = conf.get("type", "monodepth2")
+    remat = conf.get("remat", False)
     if btype == "monodepth2":
-        return Monodepth2(
+        cls = nn.remat(Monodepth2, static_argnums=(2,)) if remat \
+            else Monodepth2
+        return cls(
             resnet_layers=conf.get("resnet_layers", 18),
             num_ch_dec=conf.get("num_ch_dec", None),
             d_out=conf.get("d_out", 128),

@@ -254,7 +254,8 @@ def render_rays(query_fn: Callable, rays, key, cfg: RendererConfig,
 
 
 def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
-                        ray_chunk: int = 16384, **want) -> dict:
+                        ray_chunk: int = 16384, remat_body: bool = False,
+                        **want) -> dict:
     """Full-frame rendering: sequential `lax.map` over ray chunks INSIDE one
     jit program — the TPU-native replacement for the reference's Python
     `eval_batch_size` loop (nerf.py:241-268). Bounds peak HBM for the
@@ -280,6 +281,12 @@ def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
         idx, chunk_rays = args
         k = jax.random.fold_in(key, idx)
         return render_rays(query_fn, chunk_rays, k, cfg, **want)
+
+    if remat_body:
+        # Per-chunk rematerialization: the backward pass re-runs each
+        # chunk's point-query graph instead of storing its activations —
+        # training memory becomes constant in the number of rays.
+        body = jax.checkpoint(body)
 
     outs = jax.lax.map(body, (jnp.arange(num_chunks), chunks))
 

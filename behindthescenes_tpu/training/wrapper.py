@@ -44,6 +44,8 @@ class BTSWrapper:
         self.flip_augmentation = config.get("flip_augmentation", False)
         self.alternating_ratio = config.get("alternating_ratio", None)
 
+        self.remat_render = config.get("remat_render", False)
+        self.train_ray_chunk = config.get("train_ray_chunk", 512)
         self.train_image_processor = make_image_processor(
             config.get("image_processor", {}))
         self.val_image_processor = RGBProcessor()
@@ -144,12 +146,6 @@ class BTSWrapper:
             jnp.take(poses, ids.ids_loss, axis=1),
             jnp.take(projs, ids.ids_loss, axis=1))
 
-        def query_fn_at_scale(scale):
-            def query_fn(xyz, coarse):
-                return net.apply(new_variables, grid, xyz, coarse=coarse,
-                                 scale=scale, method=BTSNet.query)
-            return query_fn
-
         data = dict(batch)
         data["coarse"] = []
         data["fine"] = []
@@ -161,9 +157,31 @@ class BTSWrapper:
             if si > 0 and cfg.using_fine:
                 import dataclasses as _dc
                 scale_cfg = _dc.replace(cfg, n_fine=0, n_fine_depth=0)
-            render_dict = renderer_lib.render_rays(
-                query_fn_at_scale(scale), all_rays, k_render, scale_cfg,
-                want_weights=True, want_alphas=True, want_rgb_samps=True)
+
+            use_chunked_remat = train and self.remat_render
+
+            def do_render(variables_, grid_, rays_, _scale=scale,
+                          _cfg=scale_cfg):
+                def query_fn(xyz, coarse):
+                    return self.net.apply(variables_, grid_, xyz,
+                                          coarse=coarse, scale=_scale,
+                                          method=BTSNet.query)
+                if use_chunked_remat:
+                    # Ray-chunked render with per-chunk remat: the per-point
+                    # feature/code/MLP intermediates are the dominant
+                    # training activations; this makes training memory
+                    # constant in ray count (the difference between batch 4
+                    # and the reference's batch 16 fitting in 16GB HBM).
+                    return renderer_lib.render_rays_chunked(
+                        query_fn, rays_, k_render, _cfg,
+                        ray_chunk=self.train_ray_chunk, remat_body=True,
+                        want_weights=True, want_alphas=True,
+                        want_rgb_samps=True)
+                return renderer_lib.render_rays(
+                    query_fn, rays_, k_render, _cfg, want_weights=True,
+                    want_alphas=True, want_rgb_samps=True)
+
+            render_dict = do_render(new_variables, grid, all_rays)
             if "fine" not in render_dict:
                 render_dict["fine"] = dict(render_dict["coarse"])
             render_dict["rgb_gt"] = all_rgb_gt

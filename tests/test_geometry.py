@@ -103,3 +103,19 @@ def test_distance_to_z_center_ray_unchanged():
     assert abs(z[0, 0, 2, 2] - 2.0) < 1e-5
     # Corners foreshorten (distance > z).
     assert z[0, 0, 0, 0] < 2.0
+
+
+def test_quat_rot_roundtrip():
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((16, 4)).astype(np.float32)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    q = q * np.sign(q[:, :1])  # canonical sign (w >= 0)
+    rot = geometry.quat_to_rot(jnp.asarray(q))
+    # Valid rotations: orthonormal, det 1.
+    rn = np.asarray(rot)
+    np.testing.assert_allclose(rn @ rn.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), rn.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(rn), 1.0, atol=1e-5)
+    q_back = np.asarray(geometry.rot_to_quat(rot))
+    np.testing.assert_allclose(q_back, q, atol=1e-4)
