@@ -50,6 +50,10 @@ class FeatureGrid:
         pytree_node=False, default=None)
     c_combine: Optional[Tuple[Tuple[int, ...], ...]] = flax.struct.field(
         pytree_node=False, default=None)
+    # Corner-packed variants (built once in encode; one wide row-gather per
+    # point instead of four, in the compute dtype). None on the f32 path.
+    features_packed: Optional[Tuple[jnp.ndarray, ...]] = None
+    color_imgs_packed: Optional[jnp.ndarray] = None
 
     @property
     def n_render_groups(self) -> int:
@@ -222,10 +226,24 @@ class BTSNet(nn.Module):
             _nearest_resize(l, h0, w0).reshape(n, nv, h0, w0, c_l)
             for l in latents)
 
+        features_packed = None
+        color_imgs_packed = None
+        if self.compute_dtype != jnp.float32:
+            from behindthescenes_tpu.ops.grid_sample import pack_corners
+            features_packed = tuple(
+                pack_corners(f.astype(self.compute_dtype)) for f in feats)
+            # Don't hold a second full-precision copy: the unpacked view is
+            # corner slice 0 of the packed map (lazy; DCE'd when unused).
+            feats = tuple(p[..., :c_l] for p in features_packed)
+            if self.color_interpolation == "bilinear":
+                color_imgs_packed = pack_corners(images_render)
+
         return FeatureGrid(
             features=feats, f_ks=ks_encoder, f_poses_w2c=poses_w2c_encoder,
             color_imgs=images_render, c_ks=ks_render,
-            c_poses_w2c=poses_w2c_render, f_combine=comb_e, c_combine=comb_r)
+            c_poses_w2c=poses_w2c_render, f_combine=comb_e, c_combine=comb_r,
+            features_packed=features_packed,
+            color_imgs_packed=color_imgs_packed)
 
     # ----------------------------------------------------------------- queries
     def sample_features(self, grid: FeatureGrid, xyz, scale: int = 0,
@@ -254,8 +272,18 @@ class BTSNet(nn.Module):
         coord = 2.0 * coord - 1.0
         xyz_code = self.code_xyz(jnp.concatenate([xy, coord], axis=-1))
 
-        sampled = grid_sample_2d(feature_map, xy, align_corners=False,
-                                 padding_mode="border")  # (n, nv, p, c)
+        if grid.features_packed is not None:
+            # One 4C-wide row gather per point instead of four; bf16 values
+            # halve the dominant per-point training activations (the corner
+            # tensors), which otherwise push XLA into auto-remat at
+            # reference batch sizes. Packing happened once in encode.
+            from behindthescenes_tpu.ops.grid_sample import \
+                grid_sample_2d_packed
+            sampled = grid_sample_2d_packed(grid.features_packed[scale], xy)
+            sampled = sampled.astype(jnp.float32)
+        else:
+            sampled = grid_sample_2d(feature_map, xy, align_corners=False,
+                                     padding_mode="border")  # (n, nv, p, c)
         if self.learn_empty:
             empty = jnp.broadcast_to(self.empty_feature, sampled.shape)
             sampled = jnp.where(invalid, empty, sampled)
@@ -282,7 +310,10 @@ class BTSNet(nn.Module):
             # (RGB rows are only 12 bytes; gather cost is per-row).
             from behindthescenes_tpu.ops.grid_sample import (
                 grid_sample_2d_packed, pack_corners)
-            colors = grid_sample_2d_packed(pack_corners(grid.color_imgs), xy)
+            packed = grid.color_imgs_packed \
+                if grid.color_imgs_packed is not None \
+                else pack_corners(grid.color_imgs)
+            colors = grid_sample_2d_packed(packed, xy)
         else:
             colors = grid_sample_2d(grid.color_imgs, xy,
                                     align_corners=False,

@@ -40,7 +40,13 @@ class TrainState:
 def make_optimizer(config: dict):
     lr = config.get("learning_rate", 1e-4)
     schedule = make_lr_schedule(config.get("scheduler", {}), lr)
-    return optax.adam(schedule), schedule
+    tx = optax.adam(schedule)
+    accumulate = config.get("accumulate_steps", 1)
+    if accumulate > 1:
+        # Gradient accumulation: reference-equivalent effective batch sizes
+        # (e.g. batch 16 = 2 x micro-batch 8) within 16GB HBM.
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx, schedule
 
 
 def _alternating_mask(params, train_encoder):
