@@ -173,7 +173,8 @@ class BTSNet(nn.Module):
     # ------------------------------------------------------------------ encode
     def encode(self, images, ks, poses_c2w, ids_encoder=None, ids_render=None,
                images_alt=None, combine_ids=None, do_flip=False,
-               train: bool = False) -> FeatureGrid:
+               train: bool = False, combine_encoder=None,
+               combine_render=None) -> FeatureGrid:
         """Run the CNN over selected views and build the feature grid.
 
         Args:
@@ -210,8 +211,13 @@ class BTSNet(nn.Module):
         ks_render = ks[:, ids_render]
         poses_w2c_render = poses_w2c[:, ids_render]
 
-        comb_e, comb_r = _resolve_combine(combine_ids, v, ids_encoder,
-                                          ids_render)
+        if combine_encoder is not None or combine_render is not None:
+            # Pre-resolved positional groups (waymo training: id VALUES are
+            # traced, group structure static — see ViewIds).
+            comb_e, comb_r = combine_encoder, combine_render
+        else:
+            comb_e, comb_r = _resolve_combine(combine_ids, v, ids_encoder,
+                                              ids_render)
 
         nv = len(ids_encoder)
         do_flip = jnp.asarray(do_flip)

@@ -19,3 +19,24 @@ def apply_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass  # backends already initialized; keep whatever is live
+
+
+def maybe_init_distributed(config: dict | None = None):
+    """Multi-host initialization (replaces the reference's idist backend
+    selection, SURVEY.md §5.8): call jax.distributed.initialize when a
+    coordinator is configured — via config keys (coordinator_address,
+    num_processes, process_id) or the standard cluster env vars JAX
+    auto-detects. Single-process runs skip it. Returns (process_index,
+    process_count)."""
+    import jax
+    config = config or {}
+    coord = config.get("coordinator_address") \
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(config.get(
+                "num_processes", os.environ.get("JAX_NUM_PROCESSES", 1))),
+            process_id=int(config.get(
+                "process_id", os.environ.get("JAX_PROCESS_ID", 0))))
+    return jax.process_index(), jax.process_count()

@@ -15,6 +15,12 @@ def bts_get_dataflow(config):
     """(reference models/bts/trainer.py:359-392)."""
     train_ds, test_ds = make_datasets(config["data"])
 
+    # Per-host dataset sharding replaces DistributedSampler (SURVEY §5.8).
+    host_shard = config["data"].get("host_shard")
+    if host_shard:
+        from behindthescenes_tpu.datasets.loader import shard_for_host
+        train_ds = shard_for_host(train_ds, *host_shard)
+
     # Eval datasets use a single prediction frame + GT depth.
     test_ds = copy.copy(test_ds)
     if hasattr(test_ds, "frame_count"):

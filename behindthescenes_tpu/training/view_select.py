@@ -15,13 +15,20 @@ import numpy as np
 
 @flax.struct.dataclass
 class ViewIds:
-    """Pytree of index arrays; combine_ids is static metadata (it defines
-    gather structure, not values)."""
+    """Pytree of index arrays; combine metadata is static (it defines gather
+    STRUCTURE — positions within the encoder/render sets — not values, so
+    random per-step permutations never recompile)."""
     ids_encoder: np.ndarray
     ids_render: np.ndarray
     ids_loss: np.ndarray
     combine_ids: Optional[Tuple[Tuple[int, ...], ...]] = flax.struct.field(
         pytree_node=False, default=None)
+    # Pre-resolved positional combine groups (waymo modes): indices INTO the
+    # encoder/render sets, deterministic given the mode structure.
+    combine_encoder: Optional[Tuple[Tuple[int, ...], ...]] = \
+        flax.struct.field(pytree_node=False, default=None)
+    combine_render: Optional[Tuple[Tuple[int, ...], ...]] = \
+        flax.struct.field(pytree_node=False, default=None)
 
 
 def select_views(rng: np.random.Generator, v: int, frames_render: Sequence[int],
@@ -98,6 +105,20 @@ def select_views(rng: np.random.Generator, v: int, frames_render: Sequence[int],
             ids_render = np.array(sum(
                 [[i + j * steps for j in range(num_views)]
                  for i in step_perm[split:]], []), dtype=np.int32)
+            # Positional combine groups are deterministic: ids_render is
+            # laid out [i_k, i_k+steps, i_k+2*steps] per kept timestep k, so
+            # render group k occupies positions (3k, 3k+1, 3k+2); only the
+            # i=0 group intersects the encoder set and 0 may not be kept —
+            # encoder combining at train time uses the single encoder view
+            # per camera (positions 0..2).
+            n_groups = steps - split
+            combine_render = tuple(
+                (3 * k, 3 * k + 1, 3 * k + 2) for k in range(n_groups))
+            combine_encoder = ((0, 1, 2),)
+            return ViewIds(ids_encoder=ids_encoder, ids_render=ids_render,
+                           ids_loss=ids_loss, combine_ids=combine_ids,
+                           combine_encoder=combine_encoder,
+                           combine_render=combine_render)
         elif frame_sample_mode == "default":
             ids_loss = frame_perm[
                 [i for i in range(v) if frame_perm[i] not in ids_render]

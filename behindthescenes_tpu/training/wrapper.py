@@ -124,7 +124,10 @@ class BTSWrapper:
             # The render/color images are the processed images (with the
             # automask channel when enabled — it renders like a color).
             images_alt=images_ip,
-            combine_ids=ids.combine_ids, do_flip=do_flip, train=train)
+            combine_ids=ids.combine_ids,
+            combine_encoder=ids.combine_encoder,
+            combine_render=ids.combine_render,
+            do_flip=do_flip, train=train)
         if mutable:
             grid, updates = net.apply(variables, images, projs, poses,
                                       method=BTSNet.encode, mutable=mutable,

@@ -103,3 +103,14 @@ def test_waymo_mode_combine_ids():
     assert ids.combine_ids is not None
     assert list(ids.ids_encoder) == [0, 4, 8]
     assert len(ids.combine_ids) == 4
+
+
+def test_waymo_training_mode_end_to_end():
+    # 12 views = 3 cameras x 4 timesteps; waymo-3 training with traced ids
+    # and static positional combine groups.
+    h, w = 16, 24
+    cfg = _config(h, w, frame_sample_mode="waymo-3",
+                  n_frames_render=[0, 1])
+    batch = _batch(h, w, v=12)
+    trainer, state, losses = _run_steps(cfg, batch, n=2)
+    assert np.isfinite(losses).all(), losses

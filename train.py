@@ -24,6 +24,14 @@ def main():
     config = load_config(find_config(args.config_name),
                          parse_cli_overrides(args.overrides))
 
+    from behindthescenes_tpu.platform import maybe_init_distributed
+    proc_idx, proc_cnt = maybe_init_distributed(config)
+    if proc_cnt > 1:
+        print(f"multi-host: process {proc_idx}/{proc_cnt}")
+        config["seed"] = config.get("seed", 0) + proc_idx  # rank seeding
+        config["data"] = dict(config.get("data", {}),
+                              host_shard=(proc_idx, proc_cnt))
+
     model = config.get("model", "bts")
     if model == "bts":
         from behindthescenes_tpu.training.tasks import bts_training
