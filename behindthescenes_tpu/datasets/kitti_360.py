@@ -567,5 +567,8 @@ class Kitti360Dataset:
                    if split_base else None,
                    return_stereo=conf.get("data_stereo", True),
                    return_fisheye=conf.get("data_fisheye", True),
+                   return_3d_bboxes=conf.get("return_3d_bboxes", False),
+                   return_segmentation=conf.get("return_segmentation",
+                                                False),
                    return_depth=True, **common)
         return train, test
