@@ -129,6 +129,119 @@ def _map_resnetfc(sd, prefix):
     return params
 
 
+def load_encoder_checkpoint(path: str, resnet_layers: int,
+                            scales=(0, 1, 2, 3)) -> Tuple[dict, dict]:
+    """Load pretrained BACKBONE weights for init-time encoder initialization
+    (reference monodepth2.py:87-92 torchvision `pretrained=True` and
+    :275-277 `cp_location`).
+
+    Two torch formats are auto-detected:
+      * bare torchvision resnet state dict (`resnet50-*.pth`): keys
+        `conv1.weight`, `layerN.M...`; fc/avgpool ignored -> params for the
+        `encoder` (ResnetEncoder) subtree only;
+      * full Monodepth2 state dict (reference `cp_location` checkpoints,
+        possibly wrapped in {"model": ...}): keys `encoder.encoder.*` +
+        `decoder.decoder.*` -> params for both subtrees.
+
+    Returns (params, batch_stats) shaped like the `encoder` entry of our
+    BTSNet parameter tree, containing only the subtrees found.
+    """
+    sd = load_torch_state_dict(path)
+    if any(k.startswith("encoder.encoder.") for k in sd):
+        enc_p, enc_s = _map_resnet_encoder(sd, "encoder.encoder.",
+                                           resnet_layers)
+        params = {"encoder": enc_p}
+        stats = {"encoder": enc_s}
+        if any(k.startswith("decoder.decoder.") for k in sd):
+            params["decoder"] = _map_monodepth_decoder(sd, "decoder.", scales)
+        return params, stats
+    if "conv1.weight" in sd:
+        enc_p, enc_s = _map_resnet_encoder(sd, "", resnet_layers)
+        return {"encoder": enc_p}, {"encoder": enc_s}
+    raise ValueError(
+        f"unrecognized encoder checkpoint key schema in {path}: "
+        f"{sorted(sd)[:5]}...")
+
+
+def _merge_subtree(tree: dict, sub: dict, path: str) -> dict:
+    """Replace leaves of `tree` present in `sub` (shape-checked), keeping the
+    rest. Raises on keys in `sub` absent from `tree`."""
+    out = dict(tree)
+    for k, v in sub.items():
+        if k not in out:
+            raise ValueError(f"pretrained key {path}/{k} not in model tree "
+                             f"(have {sorted(out)})")
+        if isinstance(v, dict):
+            out[k] = _merge_subtree(out[k], v, f"{path}/{k}")
+        else:
+            if tuple(out[k].shape) != tuple(v.shape):
+                raise ValueError(
+                    f"pretrained shape mismatch at {path}/{k}: "
+                    f"{v.shape} vs model {out[k].shape}")
+            out[k] = v
+    return out
+
+
+def apply_pretrained_encoder(variables: dict, enc_conf: dict) -> dict:
+    """Honor `encoder.pretrained` / `encoder.cp_location` on an initialized
+    variables tree ({"params", "batch_stats"}); returns the updated tree.
+
+    Resolution order: explicit `cp_location`, else (when `pretrained`) the
+    torchvision cache ($TORCH_HOME or ~/.cache/torch/hub/checkpoints) and
+    ./media/weights. There is no network access in this environment, so a
+    missing artifact is a loud warning (or an error with
+    `pretrained_strict: true`), not a silent no-op.
+    """
+    import logging
+    import os
+    log = logging.getLogger(__name__)
+
+    if enc_conf.get("type", "monodepth2") != "monodepth2":
+        if enc_conf.get("pretrained") or enc_conf.get("cp_location"):
+            log.warning("pretrained init only implemented for monodepth2")
+        return variables
+    path = enc_conf.get("cp_location")
+    layers = enc_conf.get("resnet_layers", 18)
+    if path is None and enc_conf.get("pretrained", False):
+        hub = os.path.join(os.environ.get(
+            "TORCH_HOME", os.path.expanduser("~/.cache/torch")),
+            "hub", "checkpoints")
+        import glob as _glob
+        for pattern in (os.path.join(hub, f"resnet{layers}-*.pth"),
+                        os.path.join(hub, f"resnet{layers}.pth"),
+                        os.path.join("media", "weights",
+                                     f"resnet{layers}*.pth")):
+            hits = sorted(_glob.glob(pattern))
+            if hits:
+                path = hits[0]
+                break
+    if path is None:
+        if enc_conf.get("cp_location") or enc_conf.get("pretrained"):
+            msg = (f"encoder.pretrained requested but no resnet{layers} "
+                   "checkpoint found (searched $TORCH_HOME/hub/checkpoints "
+                   "and media/weights); training starts from RANDOM encoder "
+                   "weights — accuracy will NOT reach the reference's")
+            if enc_conf.get("pretrained_strict", False):
+                raise FileNotFoundError(msg)
+            log.warning(msg)
+        return variables
+
+    scales = tuple(enc_conf.get("scales", (0, 1, 2, 3)))
+    sub_p, sub_s = load_encoder_checkpoint(path, layers, scales)
+    params = dict(variables["params"])
+    params["encoder"] = _merge_subtree(params["encoder"], sub_p,
+                                       "params/encoder")
+    out = dict(variables)
+    out["params"] = params
+    stats = dict(variables.get("batch_stats") or {})
+    if stats:
+        stats["encoder"] = _merge_subtree(stats["encoder"], sub_s,
+                                          "batch_stats/encoder")
+        out["batch_stats"] = stats
+    log.info("loaded pretrained encoder weights from %s", path)
+    return out
+
+
 def import_bts_checkpoint(path: str, resnet_layers: int = 50,
                           scales=(0, 1, 2, 3)) -> Tuple[dict, dict]:
     """-> (params, batch_stats) for our BTSNet, from a reference training

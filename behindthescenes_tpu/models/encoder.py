@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -186,6 +187,7 @@ class Monodepth2(nn.Module):
     num_ch_dec: Sequence[int] | None = None
     d_out: int = 128
     scales: Sequence[int] = (0, 1, 2, 3)
+    freeze: bool = False
     compute_dtype: Any = jnp.float32
 
     @property
@@ -202,7 +204,15 @@ class Monodepth2(nn.Module):
         outputs = Decoder(num_ch_dec, self.d_out, tuple(self.scales),
                           compute_dtype=self.compute_dtype,
                           name="decoder")(feats)
-        return [outputs[i].astype(jnp.float32) for i in self.scales]
+        latents = [outputs[i].astype(jnp.float32) for i in self.scales]
+        if self.freeze:
+            # Reference `freeze` sets requires_grad=False on the whole
+            # backbone (monodepth2.py:275-277). Cutting the gradient at the
+            # output is equivalent for Adam-from-init AND skips the entire
+            # CNN backward pass. (BN running stats still update in train
+            # mode, matching the reference's train()-mode behavior.)
+            latents = [jax.lax.stop_gradient(l) for l in latents]
+        return latents
 
 
 class SpatialEncoder(nn.Module):
@@ -285,6 +295,16 @@ class EncoderDummy(nn.Module):
         return [jnp.broadcast_to(feat, (n,) + feat.shape)]
 
 
+_BACKBONE_KEYS = {
+    "monodepth2": {"type", "remat", "resnet_layers", "num_ch_dec", "d_out",
+                   "scales", "pretrained", "pretrained_strict", "freeze",
+                   "cp_location"},
+    "spatial": {"type", "resnet_layers", "num_layers", "pretrained"},
+    "global": {"type", "resnet_layers", "latent_size", "pretrained"},
+    "dummy": {"type", "size", "d_out"},
+}
+
+
 def make_backbone(conf: dict, compute_dtype=jnp.float32):
     """Backbone factory (reference backbone_util.py:6-16).
 
@@ -292,8 +312,21 @@ def make_backbone(conf: dict, compute_dtype=jnp.float32):
     (jax.checkpoint) — trades ~30% step time for the encoder's activation
     memory, the difference between batch 4 and batch 16 fitting on a 16GB
     chip at 192x640.
+
+    conf["pretrained"] / conf["cp_location"] are consumed at INIT time by
+    `import_torch.apply_pretrained_encoder` (the module itself is static
+    config); they are validated here so configs cannot carry dead keys.
+    conf["freeze"] stops gradients at the backbone output
+    (reference monodepth2.py:275-277 requires_grad=False).
     """
     btype = conf.get("type", "monodepth2")
+    if btype not in _BACKBONE_KEYS:
+        raise NotImplementedError(f"Unsupported encoder type: {btype}")
+    unknown = set(conf) - _BACKBONE_KEYS[btype]
+    if unknown:
+        raise ValueError(
+            f"unknown encoder config keys for type={btype}: "
+            f"{sorted(unknown)} (known: {sorted(_BACKBONE_KEYS[btype])})")
     remat = conf.get("remat", False)
     if btype == "monodepth2":
         cls = nn.remat(Monodepth2, static_argnums=(2,)) if remat \
@@ -303,6 +336,7 @@ def make_backbone(conf: dict, compute_dtype=jnp.float32):
             num_ch_dec=conf.get("num_ch_dec", None),
             d_out=conf.get("d_out", 128),
             scales=tuple(conf.get("scales", (0, 1, 2, 3))),
+            freeze=conf.get("freeze", False),
             compute_dtype=compute_dtype,
         )
     if btype == "spatial":
@@ -316,10 +350,8 @@ def make_backbone(conf: dict, compute_dtype=jnp.float32):
             size=tuple(conf.get("size", (48, 160))),
             d_out=conf.get("d_out", 64),
         )
-    if btype == "global":
-        return ImageEncoder(
-            resnet_layers=conf.get("resnet_layers", 34),
-            latent_dim=conf.get("latent_size", 128),
-            compute_dtype=compute_dtype,
-        )
-    raise NotImplementedError(f"Unsupported encoder type: {btype}")
+    return ImageEncoder(
+        resnet_layers=conf.get("resnet_layers", 34),
+        latent_dim=conf.get("latent_size", 128),
+        compute_dtype=compute_dtype,
+    )

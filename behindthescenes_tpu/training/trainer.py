@@ -69,7 +69,20 @@ class BTSTrainer:
 
     def __init__(self, config: dict, mesh=None, compute_dtype=None):
         self.config = config
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # The data axis must divide the (micro-)batch; with more devices
+            # than batch (e.g. CI batch 2 on an 8-device CPU mesh) use the
+            # largest divisor and leave the rest idle rather than crash.
+            import math
+            ndev = len(jax.devices())
+            use = math.gcd(int(config.get("batch_size", 1)), ndev)
+            if use != ndev:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "batch_size %s not divisible by %d devices; data-parallel"
+                    " over %d device(s)", config.get("batch_size"), ndev, use)
+            mesh = make_mesh(jax.devices()[:use])
+        self.mesh = mesh
         model_conf = config["model_conf"]
         if compute_dtype is None:
             # bf16 activations by default on TPU (reference gates AMP off on
@@ -98,6 +111,11 @@ class BTSTrainer:
         xyz = jnp.zeros((n, 8, 3))
         variables = self.net.init(key, images, sample_batch["projs"],
                                   sample_batch["poses"], xyz)
+        enc_conf = self.config["model_conf"].get("encoder", {})
+        if enc_conf.get("pretrained") or enc_conf.get("cp_location"):
+            from behindthescenes_tpu.import_torch import \
+                apply_pretrained_encoder
+            variables = apply_pretrained_encoder(dict(variables), enc_conf)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
