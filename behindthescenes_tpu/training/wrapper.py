@@ -46,6 +46,7 @@ class BTSWrapper:
 
         self.remat_render = config.get("remat_render", False)
         self.train_ray_chunk = config.get("train_ray_chunk", 512)
+        self.eval_ray_chunk = config.get("eval_ray_chunk", 16384)
         self.train_image_processor = make_image_processor(
             config.get("image_processor", {}))
         self.val_image_processor = RGBProcessor()
@@ -180,6 +181,16 @@ class BTSWrapper:
                         ray_chunk=self.train_ray_chunk, remat_body=True,
                         want_weights=True, want_alphas=True,
                         want_rgb_samps=True)
+                if not train:
+                    # In-training validation renders FULL frames for every
+                    # view: unchunked, a single 192x640 frame's per-sample
+                    # tensors allocate ~17.5GB (> HBM; PERF.md item 6).
+                    # Chunk inside the jit, and skip rgb_samps — only the
+                    # weight_guided_diverse TRAIN loss consumes them.
+                    return renderer_lib.render_rays_chunked(
+                        query_fn, rays_, k_render, _cfg,
+                        ray_chunk=self.eval_ray_chunk,
+                        want_weights=True, want_alphas=True)
                 return renderer_lib.render_rays(
                     query_fn, rays_, k_render, _cfg, want_weights=True,
                     want_alphas=True, want_rgb_samps=True)
