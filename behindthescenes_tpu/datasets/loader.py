@@ -55,22 +55,53 @@ class DataLoader:
                 yield collate([self.dataset[int(i)] for i in idxs])
             return
 
-        batches = list(self._index_batches())
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        # Sample-level thread pool with in-order batch delivery: all
+        # `num_workers` threads decode concurrently (cv2/numpy release the
+        # GIL), both within a batch and across the prefetch window — a
+        # batch-16 KITTI sample set decodes 16-wide instead of serially.
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
 
-        def worker():
+        batches = list(self._index_batches())
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
+        stop = threading.Event()
+        # Enough batch groups in flight to keep every worker busy even at
+        # batch_size 1, without holding unbounded decoded samples.
+        window = max(self.prefetch,
+                     -(-2 * self.num_workers // self.batch_size))
+
+        def coordinator():
             try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    out_q.put(collate(
-                        [self.dataset[int(i)] for i in idxs]))
+                with ThreadPoolExecutor(
+                        max_workers=self.num_workers) as ex:
+                    in_flight = deque()
+                    bi = 0
+                    while bi < len(batches) and len(in_flight) < window:
+                        in_flight.append([
+                            ex.submit(self.dataset.__getitem__, int(i))
+                            for i in batches[bi]])
+                        bi += 1
+                    while in_flight:
+                        batch = collate([f.result()
+                                         for f in in_flight.popleft()])
+                        while not stop.is_set():
+                            try:
+                                out_q.put(batch, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                        if bi < len(batches):
+                            in_flight.append([
+                                ex.submit(self.dataset.__getitem__, int(i))
+                                for i in batches[bi]])
+                            bi += 1
                 out_q.put(None)
             except BaseException as e:  # surface loader errors to consumer
                 out_q.put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=coordinator, daemon=True)
         t.start()
         try:
             while True:
