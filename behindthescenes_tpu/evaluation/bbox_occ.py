@@ -123,6 +123,7 @@ class BBoxOccEvaluator:
         self.ppm_y = 4
         self.dataset = dataset
         self._encode = None
+        self._fns_shape = None
         self._query = None
 
     def _build_fns(self, h, w, ph, pw):
@@ -181,8 +182,11 @@ class BBoxOccEvaluator:
 
         poses_w = (to_keyframe[None, None] @ poses_np).astype(np.float32)
 
-        if self._encode is None:
+        if self._encode is None or self._fns_shape != (h, w, ph, pw):
+            # Shape-keyed: retrace on resolution change instead of reusing
+            # the first batch's shapes.
             self._encode, self._query = self._build_fns(h, w, ph, pw)
+            self._fns_shape = (h, w, ph, pw)
         # Encode at full res; render pseudo depth at half res
         # (reference :206-251 renders at h//2 x w//2).
         grid, pred_depth = self._encode(variables, images,

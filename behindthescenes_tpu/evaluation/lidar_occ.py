@@ -170,6 +170,7 @@ class LidarOccEvaluator:
         self.dataset = dataset
         self.aggregate_timesteps = 20
         self._encode = None
+        self._fns_shape = None
         self._query = None
 
     def _build_fns(self, h, w):
@@ -236,8 +237,11 @@ class LidarOccEvaluator:
             velo_poses.append(velo_pose.astype(np.float32))
         velo_poses = np.stack(velo_poses)
 
-        if self._encode is None:
+        if self._encode is None or self._fns_shape != (h, w):
+            # Shape-keyed: a dataset mixing resolutions must retrace, not
+            # silently reuse the first batch's (h, w).
             self._encode, self._query = self._build_fns(h, w)
+            self._fns_shape = (h, w)
         grid, pred_depth = self._encode(variables, images,
                                         jnp.asarray(projs_np),
                                         jnp.asarray(poses_w), key)

@@ -130,7 +130,8 @@ def _map_resnetfc(sd, prefix):
 
 
 def load_encoder_checkpoint(path: str, resnet_layers: int,
-                            scales=(0, 1, 2, 3)) -> Tuple[dict, dict]:
+                            scales=(0, 1, 2, 3),
+                            num_input_images: int = 1) -> Tuple[dict, dict]:
     """Load pretrained BACKBONE weights for init-time encoder initialization
     (reference monodepth2.py:87-92 torchvision `pretrained=True` and
     :275-277 `cp_location`).
@@ -147,17 +148,28 @@ def load_encoder_checkpoint(path: str, resnet_layers: int,
     BTSNet parameter tree, containing only the subtrees found.
     """
     sd = load_torch_state_dict(path)
+
+    def tile_conv1(params):
+        # Multi-frame stem: replicate the pretrained conv1 kernel over the
+        # stacked input frames, averaged (reference resnet_multiimage_input,
+        # monodepth2.py:63-66).
+        if num_input_images > 1:
+            k = params["conv1"]["kernel"]
+            params["conv1"]["kernel"] = np.concatenate(
+                [k] * num_input_images, axis=2) / num_input_images
+        return params
+
     if any(k.startswith("encoder.encoder.") for k in sd):
         enc_p, enc_s = _map_resnet_encoder(sd, "encoder.encoder.",
                                            resnet_layers)
-        params = {"encoder": enc_p}
+        params = {"encoder": tile_conv1(enc_p)}
         stats = {"encoder": enc_s}
         if any(k.startswith("decoder.decoder.") for k in sd):
             params["decoder"] = _map_monodepth_decoder(sd, "decoder.", scales)
         return params, stats
     if "conv1.weight" in sd:
         enc_p, enc_s = _map_resnet_encoder(sd, "", resnet_layers)
-        return {"encoder": enc_p}, {"encoder": enc_s}
+        return {"encoder": tile_conv1(enc_p)}, {"encoder": enc_s}
     raise ValueError(
         f"unrecognized encoder checkpoint key schema in {path}: "
         f"{sorted(sd)[:5]}...")

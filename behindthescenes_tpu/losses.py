@@ -146,6 +146,8 @@ class ReconstructionLoss:
 
         Returns (total_loss scalar, dict of scalar diagnostics).
         """
+        # jax.named_scope("loss_computation") analogue of the reference's
+        # record_function scopes is applied by the caller's train step.
         n_scales = len(data["coarse"])
         coarse_0 = data["coarse"][0]
         fine_0 = data["fine"][0]

@@ -223,7 +223,8 @@ class BTSNet(nn.Module):
         do_flip = jnp.asarray(do_flip)
         imgs = jnp.where(do_flip, images_encoder[:, :, :, ::-1, :],
                          images_encoder)
-        latents = self.encoder(imgs.reshape(n * nv, h, w, 3), train)
+        with jax.named_scope("encoder_forward"):
+            latents = self.encoder(imgs.reshape(n * nv, h, w, 3), train)
         latents = [jnp.where(do_flip, l[:, :, ::-1, :], l) for l in latents]
 
         h0, w0 = latents[0].shape[1:3]
@@ -341,8 +342,10 @@ class BTSNet(nn.Module):
         Returns rgb (n, p, nv*3), invalid (n, p, nv) float, sigma (n, p, 1).
         """
         n, n_pts, _ = xyz.shape
-        feats, invalid_features = self.sample_features(
-            grid, xyz, scale=scale, use_single_featuremap=not only_density)
+        with jax.named_scope("sample_features"):
+            feats, invalid_features = self.sample_features(
+                grid, xyz, scale=scale,
+                use_single_featuremap=not only_density)
 
         if only_density and feats.ndim == 4:
             # Density grid queries run with a single (possibly combined)
@@ -354,7 +357,8 @@ class BTSNet(nn.Module):
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) \
             else self.mlp_fine
-        mlp_output = mlp(feats, combine_inner_dims=(n_pts,))
+        with jax.named_scope("field_mlp"):
+            mlp_output = mlp(feats, combine_inner_dims=(n_pts,))
 
         if self.sample_color:
             sigma = nn.softplus(mlp_output[..., :1])
@@ -371,7 +375,8 @@ class BTSNet(nn.Module):
             return rgb, invalid, sigma
 
         if self.sample_color:
-            rgb, invalid_colors = self.sample_colors(grid, xyz)  # (n,nv,p,c)
+            with jax.named_scope("sample_colors"):
+                rgb, invalid_colors = self.sample_colors(grid, xyz)
         else:
             rgb = nn.sigmoid(mlp_output[..., 1:4])[:, None]       # (n,1,p,3)
             invalid_colors = invalid_features[:, None]

@@ -176,6 +176,46 @@ class Decoder(nn.Module):
         return outputs
 
 
+class DepthDecoder(nn.Module):
+    """Sigmoid-disparity U-Net decoder (reference monodepth2.py:110-169).
+
+    Unused by shipped BTS configs (they use `Decoder` latents) but part of
+    the monodepth2 backbone surface: emits `("disp", i)` sigmoid disparity
+    maps and `("features", i)` per scale. Weight schema matches the
+    reference ModuleList layout (import via
+    import_torch._map_monodepth_decoder).
+    """
+    num_ch_dec: Sequence[int] = (16, 32, 64, 128, 256)
+    scales: Sequence[int] = (0, 1, 2, 3)
+    num_output_channels: int = 1
+    use_skips: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_features):
+        outputs = {}
+        x = input_features[-1]
+        for i in range(4, -1, -1):
+            x = ConvBlock3x3(self.num_ch_dec[i],
+                             compute_dtype=self.compute_dtype,
+                             name=f"upconv_{i}_0")(x)
+            x = _upsample_nearest(x)
+            if self.use_skips and i > 0:
+                feats = input_features[i - 1]
+                x = x[:, :feats.shape[1], :feats.shape[2], :]
+                x = jnp.concatenate([x, feats], axis=-1)
+            x = ConvBlock3x3(self.num_ch_dec[i],
+                             compute_dtype=self.compute_dtype,
+                             name=f"upconv_{i}_1")(x)
+            outputs[("features", i)] = x
+            if i in self.scales:
+                d = ConvBlock3x3(self.num_output_channels, elu=False,
+                                 compute_dtype=self.compute_dtype,
+                                 name=f"dispconv_{i}")(x)
+                outputs[("disp", i)] = nn.sigmoid(d)
+        return outputs
+
+
 class Monodepth2(nn.Module):
     """Default backbone: ResNet encoder + U-Net decoder
     (reference monodepth2.py:242-302).

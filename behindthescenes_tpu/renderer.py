@@ -169,7 +169,8 @@ def composite(query_fn: Callable, rays, z_samp, cfg: RendererConfig,
     points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
     points = points.reshape(n, b * k, 3)
 
-    rgbs, invalid, sigmas = query_fn(points, coarse)
+    with jax.named_scope("renderer_composite"):
+        rgbs, invalid, sigmas = query_fn(points, coarse)
     v3 = rgbs.shape[-1]
     nv = invalid.shape[-1]
     rgbs = rgbs.reshape(n, b, k, v3)

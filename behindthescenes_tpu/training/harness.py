@@ -3,8 +3,9 @@ checkpointing, resume, and metric logging.
 
 Re-design of reference utils/base_trainer.py:24-518 (ignite Engine/Events)
 as a plain, inspectable loop: events are just code in order. Checkpoints are
-orbax; metrics are NaN-skipping running means reduced across hosts by jax
-collectives already inside the compiled steps.
+orbax. Training-loss reductions compile into the train step (grad psum);
+validation metrics accumulate per host and are summed across hosts in
+`run_validation` before the final divide.
 """
 from __future__ import annotations
 
@@ -27,8 +28,10 @@ log = logging.getLogger("bts_tpu")
 
 class MeanMetric:
     """NaN-skipping running mean (reference utils/metrics.py:11-41).
-    Cross-device reduction happens inside the compiled eval step; this
-    accumulates per-host scalars."""
+
+    Accumulates per-host (total, count); `run_validation` sums both across
+    hosts before the final divide — the jax equivalent of the reference's
+    `sync_all_reduce("SUM")` (utils/metrics.py:31)."""
 
     def __init__(self):
         self.total = 0.0
@@ -289,7 +292,11 @@ def base_training(config: dict, get_dataflow: Callable,
 def run_validation(trainer: BTSTrainer, state: TrainState,
                    val_loader) -> dict:
     """Metric pass over the validation set
-    (reference utils/base_trainer.py:98-110 + metrics)."""
+    (reference utils/base_trainer.py:98-110 + metrics).
+
+    On multi-host runs every host evaluates its own data shard; totals and
+    counts are summed across hosts before the divide, so the reported means
+    cover the full validation set (reference MeanMetric sync_all_reduce)."""
     metrics: dict[str, MeanMetric] = {}
     for batch in val_loader:
         batch = shard_batch(batch, trainer.mesh)
@@ -297,4 +304,17 @@ def run_validation(trainer: BTSTrainer, state: TrainState,
         if "metrics" in out:
             for k, v in out["metrics"].items():
                 metrics.setdefault(k, MeanMetric()).update(float(v))
-    return {k: m.compute() for k, m in metrics.items()}
+    return _cross_host_means(metrics)
+
+
+def _cross_host_means(metrics: dict) -> dict:
+    if jax.process_count() == 1 or not metrics:
+        return {k: m.compute() for k, m in metrics.items()}
+    from jax.experimental import multihost_utils
+    names = sorted(metrics)
+    local = np.asarray([[metrics[k].total, float(metrics[k].count)]
+                        for k in names], dtype=np.float64)
+    summed = np.asarray(
+        multihost_utils.process_allgather(local)).sum(axis=0)
+    return {k: (summed[i, 0] / summed[i, 1]) if summed[i, 1] else
+            float("nan") for i, k in enumerate(names)}

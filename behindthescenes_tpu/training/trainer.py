@@ -138,7 +138,8 @@ class BTSTrainer:
                 data, new_vars = wrapper.forward(
                     variables, batch, key, ids, train=True,
                     renderer_cfg=renderer_cfg)
-                loss, loss_dict = criterion(data)
+                with jax.named_scope("loss_computation"):
+                    loss, loss_dict = criterion(data)
                 return loss, (loss_dict, new_vars.get("batch_stats", {}))
 
             grads, (loss_dict, new_bs) = jax.grad(

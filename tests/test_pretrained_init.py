@@ -154,3 +154,74 @@ def test_make_backbone_rejects_unknown_keys():
     make_backbone({"type": "monodepth2", "freeze": False, "pretrained": True,
                    "resnet_layers": 50, "num_ch_dec": [32, 32, 64, 128, 256],
                    "d_out": 64, "scales": [0, 1, 2, 3]})
+
+
+def test_depth_decoder_parity_vs_reference():
+    """DepthDecoder (sigmoid disparity variant, reference
+    monodepth2.py:110-169): functional parity with the actual reference
+    module under transferred weights."""
+    from reference_oracle import load_reference
+    from behindthescenes_tpu.models.encoder import DepthDecoder
+    from behindthescenes_tpu.import_torch import (_map_monodepth_decoder,
+                                                  load_torch_state_dict)
+    import tempfile, os
+    ref = load_reference()
+    torch.manual_seed(4)
+    num_ch_enc = [64, 64, 128, 256, 512]
+    tdec = ref.bts.__class__  # unused; import module directly
+    import models.common.backbones.monodepth2 as ref_md2
+    tdec = ref_md2.DepthDecoder(np.array(num_ch_enc)).eval()
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "dec.pt")
+        torch.save(tdec.state_dict(), p)
+        sd = load_torch_state_dict(p)
+        params = _map_monodepth_decoder(sd, "")
+
+    rng = np.random.default_rng(5)
+    h, w = 64, 96   # pyramid levels at strides 2..32
+    feats, tfeats = [], []
+    for i, c in enumerate(num_ch_enc):
+        f = rng.uniform(-1, 1,
+                        (1, h >> (i + 1), w >> (i + 1), c)).astype(np.float32)
+        feats.append(jnp.asarray(f))
+        tfeats.append(torch.from_numpy(np.transpose(f, (0, 3, 1, 2))))
+
+    jdec = DepthDecoder()
+    out = jdec.apply({"params": params}, feats)
+    with torch.no_grad():
+        tout = tdec(tfeats)
+    for s in range(4):
+        theirs = np.transpose(tout[("disp", s)].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out[("disp", s)]), theirs,
+                                   atol=1e-5, err_msg=f"disp scale {s}")
+
+
+def test_multi_image_stem_import_and_forward(tv_resnet18_ckpt):
+    """resnet_multiimage_input parity (reference monodepth2.py:26-68):
+    conv1 tiled over stacked frames / num_images; the flax encoder accepts
+    the stacked input directly."""
+    path, tmodel = tv_resnet18_ckpt
+    from behindthescenes_tpu.import_torch import load_encoder_checkpoint
+    sub_p, sub_s = load_encoder_checkpoint(path, resnet_layers=18,
+                                           num_input_images=2)
+    k = sub_p["encoder"]["conv1"]["kernel"]
+    assert k.shape == (7, 7, 6, 64)
+
+    enc = ResnetEncoder(num_layers=18)
+    x = np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 6)) \
+        .astype(np.float32)
+    feats = enc.apply({"params": sub_p["encoder"],
+                       "batch_stats": sub_s["encoder"]}, jnp.asarray(x))
+    # Identical stacked frames behave like the single-image stem.
+    single = enc.apply(
+        {"params": load_encoder_checkpoint(path, 18)[0]["encoder"],
+         "batch_stats": sub_s["encoder"]},
+        jnp.asarray(np.concatenate([x[..., :3]], -1)))
+    x_same = np.concatenate([x[..., :3], x[..., :3]], -1)
+    feats_same = enc.apply({"params": sub_p["encoder"],
+                            "batch_stats": sub_s["encoder"]},
+                           jnp.asarray(x_same))
+    np.testing.assert_allclose(np.asarray(feats_same[4]),
+                               np.asarray(single[4]), atol=1e-4)
+    assert np.isfinite(np.asarray(feats[4])).all()
