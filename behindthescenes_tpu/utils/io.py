@@ -39,3 +39,32 @@ def write_video(path: str, frames, fps: int = 10):
         writer.write(cv2.cvtColor((np.clip(f, 0, 1) * 255).astype(np.uint8),
                                   cv2.COLOR_RGB2BGR))
     writer.release()
+
+
+def save_params_npz(path: str, variables: dict, dtype=np.float16):
+    """Flatten a variables tree ({"params", "batch_stats"}) into a
+    compressed npz of slash-joined keys (float32 leaves downcast)."""
+    import jax
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    out = {}
+    for kp, leaf in flat:
+        key = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                       for p in kp)
+        arr = np.asarray(leaf)
+        out[key] = arr.astype(dtype) if arr.dtype == np.float32 else arr
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of save_params_npz: -> nested variables dict (float32)."""
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = data[key]
+        node[parts[-1]] = arr.astype(np.float32) \
+            if arr.dtype == np.float16 else arr
+    return tree

@@ -1,0 +1,78 @@
+"""Accuracy regression gate.
+
+Evaluates the committed CONVERGED synthetic checkpoint
+(media/weights/synthetic_conv_step8400.npz — exported f16 params from a
+9.6k-iteration exp_synthetic run on one TPU v5e; eval CLI measured
+abs_rel 0.172 / a1 0.744, PERF.md) against the same synthetic test set the
+eval_synthetic config uses, with loose bounds. Any semantic regression in
+encode/projection/render/metrics shows up here as an accuracy cliff, not
+just a numeric diff.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from behindthescenes_tpu.datasets.factory import make_datasets
+from behindthescenes_tpu.datasets.synthetic import collate
+from behindthescenes_tpu.parallel.mesh import make_mesh
+from behindthescenes_tpu.training.trainer import BTSTrainer
+from behindthescenes_tpu.utils.io import load_params_npz
+
+ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "media", "weights",
+                        "synthetic_conv_step8400.npz")
+
+
+def _config():
+    # Mirrors configs/exp_synthetic.yaml model/renderer blocks.
+    return {
+        "seed": 0, "bf16": False,
+        "model_conf": {
+            "arch": "BTSNet", "z_near": 1.0, "z_far": 40.0, "inv_z": True,
+            "learn_empty": False,
+            "encoder": {"type": "monodepth2", "resnet_layers": 18,
+                        "num_ch_dec": (16, 16, 32, 32, 64), "d_out": 16,
+                        "scales": (0,)},
+            "code": {"num_freqs": 6, "freq_factor": 1.5,
+                     "include_input": True},
+            "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 32},
+            "mlp_fine": {"type": "empty"},
+            "n_frames_render": 2, "frame_sample_mode": "default",
+            "sample_mode": "patch", "patch_size": 4, "ray_batch_size": 256,
+            "prediction_mode": "default", "flip_augmentation": False,
+        },
+        "loss": {"criterion": "l1+ssim", "invalid_policy": "weight_guided"},
+        "renderer": {"n_coarse": 24, "lindisp": True,
+                     "hard_alpha_cap": True},
+        "scheduler": {"type": "fix"},
+    }
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged artifact not present")
+def test_converged_synthetic_accuracy():
+    variables = load_params_npz(ARTIFACT)
+    trainer = BTSTrainer(_config(), mesh=make_mesh(jax.devices()[:1]))
+
+    _, test_ds = make_datasets({"type": "Synthetic",
+                                "image_size": (48, 64), "data_fc": 2,
+                                "length": 64})
+    from behindthescenes_tpu.training.trainer import TrainState
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None, step=jnp.asarray(8400))
+
+    vals = {"abs_rel": [], "a1": []}
+    for i in range(4):
+        batch = {k: jnp.asarray(v) for k, v in collate([test_ds[i]]).items()}
+        out = trainer.eval_step(state, batch)
+        for k in vals:
+            vals[k].append(float(out["metrics"][k]))
+    abs_rel = float(np.mean(vals["abs_rel"]))
+    a1 = float(np.mean(vals["a1"]))
+    # Eval CLI measured 0.172 / 0.744 (f32 params, 8 scenes); loose bounds
+    # absorb the f16 export and the 4-scene subset.
+    assert abs_rel < 0.26, f"abs_rel regressed: {abs_rel}"
+    assert a1 > 0.60, f"a1 regressed: {a1}"
