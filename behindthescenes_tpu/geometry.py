@@ -219,14 +219,29 @@ def project_points(xyz: jnp.ndarray, poses_w2c: jnp.ndarray, ks: jnp.ndarray,
       xy: (n, v, p, 2) NDC coords; z: (n, v, p, 1) camera z;
       distance: (n, v, p, 1) camera-space distance; invalid: (n, v, p, 1) bool.
     """
+    # Unrolled 3x3 mat-vecs: einsum with K=3/4 lowers to MXU matmuls padded
+    # to 128 lanes (measured 2.8ms per 245k points standalone); elementwise
+    # VPU ops are exact f32 and fuse with the surrounding index math.
     rot = poses_w2c[:, :, :3, :3]
     trans = poses_w2c[:, :, :3, 3]
-    xyz_cam = (jnp.einsum("nvij,npj->nvpi", rot, xyz, precision="highest")
-               + trans[:, :, None, :])
-    distance = jnp.linalg.norm(xyz_cam, axis=-1, keepdims=True)
-    xyz_proj = jnp.einsum("nvij,nvpj->nvpi", ks, xyz_cam, precision="highest")
-    xy = xyz_proj[..., :2]
-    z = xyz_proj[..., 2:3]
+    px, py, pz = (xyz[:, None, :, 0], xyz[:, None, :, 1], xyz[:, None, :, 2])
+
+    def matvec3(m, x, y, z, t=None):
+        # m: (n, v, 3, 3) applied per view to per-point (x, y, z).
+        out = []
+        for i in range(3):
+            o = (m[:, :, i, 0, None] * x + m[:, :, i, 1, None] * y
+                 + m[:, :, i, 2, None] * z)
+            if t is not None:
+                o = o + t[:, :, i, None]
+            out.append(o)
+        return out
+
+    cx, cy, cz = matvec3(rot, px, py, pz, trans)
+    distance = jnp.sqrt(cx * cx + cy * cy + cz * cz)[..., None]
+    ux, uy, uz = matvec3(ks, cx, cy, cz)
+    xy = jnp.stack([ux, uy], axis=-1)
+    z = uz[..., None]
     xy = xy / jnp.maximum(z, eps)
     invalid = (
         (z <= eps)

@@ -243,7 +243,12 @@ class BTSNet(nn.Module):
             # corner slice 0 of the packed map (lazy; DCE'd when unused).
             feats = tuple(p[..., :c_l] for p in features_packed)
             if self.color_interpolation == "bilinear":
-                color_imgs_packed = pack_corners(images_render)
+                # f16 rows: the color gather is row-latency/byte bound
+                # (24B vs 48B rows ≈ 2x); f16's 2^-11 mantissa error on
+                # [0,1] colors sits well below 8-bit quantization noise
+                # (bf16 would not). Interp math stays f32 after the gather.
+                color_imgs_packed = pack_corners(
+                    images_render.astype(jnp.float16))
 
         return FeatureGrid(
             features=feats, f_ks=ks_encoder, f_poses_w2c=poses_w2c_encoder,

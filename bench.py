@@ -102,6 +102,59 @@ def build():
         N_FRAMES
 
 
+def bench_general_query():
+    """Second metric (round-2): the GENERAL cross-view query that powers NVS
+    rendering and training — project into encoder+render views, packed
+    bilinear gathers, positional code, density MLP, color reprojection.
+    Measured in field-queries (points) per second at 245k points."""
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    model_conf = {
+        "z_near": 3.0, "z_far": 80.0, "inv_z": True, "code_mode": "z",
+        "learn_empty": False,
+        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
+        "encoder": {"type": "monodepth2", "resnet_layers": 50,
+                    "num_ch_dec": [32, 32, 64, 128, 256], "d_out": 64,
+                    "scales": [0]},
+        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
+        "mlp_fine": {"type": "empty"},
+    }
+    net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)),
+                         dtype=jnp.float32)
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)).at[:, 1, 0, 3].set(0.54)
+    projs = jnp.broadcast_to(jnp.asarray(
+        [[0.6, 0, 0], [0, 1.8, 0], [0, 0, 1]], dtype=jnp.float32),
+        (1, 2, 3, 3))
+    variables = net.init(jax.random.PRNGKey(0), images, projs, poses,
+                         jnp.zeros((1, 8, 3)))
+    grid = jax.jit(lambda v, im: net.apply(
+        v, im, projs, poses, ids_encoder=[0], ids_render=[0, 1],
+        method=BTSNet.encode))(variables, images)
+
+    p = 245760
+    pts = jnp.asarray(rng.uniform(-1, 1, (1, p, 3)) * np.array([8, 2, 1])
+                      + np.array([0, 0, 12.0]), dtype=jnp.float32)
+    iters = 30
+
+    def looped(v, g, x):
+        def body(i, acc):
+            rgb, inv, sig = net.apply(v, g, x + acc * 1e-12,
+                                      method=BTSNet.query)
+            return acc + jnp.sum(sig) + jnp.sum(rgb)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    jf = jax.jit(looped)
+    float(jf(variables, grid, pts))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jf(variables, grid, pts))
+        times.append(time.perf_counter() - t0)
+    return p / (float(np.median(times)) / iters)
+
+
 def main():
     fn, args, n_frames = build()
     out = fn(*args)               # warmup/compile
@@ -116,12 +169,19 @@ def main():
     t_frame = float(np.median(times)) / n_frames
     rays_per_sec = H * W / t_frame
 
+    nvs_pts_per_sec = bench_general_query()
+
     print(json.dumps({
         "metric": "depth_render_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s (192x640x64smp full pipeline, 1 chip)",
         "vs_baseline": round(rays_per_sec / TORCH_CPU_BASELINE_RAYS_PER_SEC,
                              2),
+        "extra_metrics": {
+            "nvs_general_query_pts_per_sec": round(nvs_pts_per_sec, 1),
+            "nvs_general_query_unit":
+                "field queries/s, cross-view path (NVS/training), 1 chip",
+        },
     }))
 
 
