@@ -236,9 +236,14 @@ class BTSNet(nn.Module):
         features_packed = None
         color_imgs_packed = None
         if self.compute_dtype != jnp.float32:
-            from behindthescenes_tpu.ops.grid_sample import pack_corners
+            from behindthescenes_tpu.ops.grid_sample import (pack_corners,
+                                                             pack_corners_x)
+            # Wide-channel maps pack only the x-pair (2C-element gather
+            # rows): rows >128 elements hit a ~6x slower TPU gather path
+            # (PERF.md). Narrow maps keep the 4-corner pack (1 gather).
+            pack = pack_corners_x if c_l > 32 else pack_corners
             features_packed = tuple(
-                pack_corners(f.astype(self.compute_dtype)) for f in feats)
+                pack(f.astype(self.compute_dtype)) for f in feats)
             # Don't hold a second full-precision copy: the unpacked view is
             # corner slice 0 of the packed map (lazy; DCE'd when unused).
             feats = tuple(p[..., :c_l] for p in features_packed)
@@ -285,22 +290,33 @@ class BTSNet(nn.Module):
         xyz_code = self.code_xyz(jnp.concatenate([xy, coord], axis=-1))
 
         if grid.features_packed is not None:
-            # One 4C-wide row gather per point instead of four; bf16 values
+            # Packed row gathers instead of four narrow ones; bf16 values
             # halve the dominant per-point training activations (the corner
             # tensors), which otherwise push XLA into auto-remat at
-            # reference batch sizes. Packing happened once in encode.
-            from behindthescenes_tpu.ops.grid_sample import \
-                grid_sample_2d_packed
-            sampled = grid_sample_2d_packed(grid.features_packed[scale], xy)
-            sampled = sampled.astype(jnp.float32)
+            # reference batch sizes. Packing happened once in encode. Wide
+            # maps use the x-pair scheme (2 gathers of <=128-element rows,
+            # see pack_corners_x); narrow maps the 4-corner scheme.
+            from behindthescenes_tpu.ops.grid_sample import (
+                grid_sample_2d_packed, grid_sample_2d_xpair)
+            packed = grid.features_packed[scale]
+            c_l = feature_map.shape[-1]
+            if packed.shape[-1] == 2 * c_l:
+                sampled = grid_sample_2d_xpair(packed, xy)
+            else:
+                sampled = grid_sample_2d_packed(packed, xy)
+            # Stay in compute dtype: the MLP matmuls run in it anyway, and
+            # an f32 concat would materialize 2x the bytes (101MB per 245k
+            # points at the flagship width) for no precision gain.
         else:
             sampled = grid_sample_2d(feature_map, xy, align_corners=False,
                                      padding_mode="border")  # (n, nv, p, c)
         if self.learn_empty:
-            empty = jnp.broadcast_to(self.empty_feature, sampled.shape)
+            empty = jnp.broadcast_to(
+                self.empty_feature.astype(sampled.dtype), sampled.shape)
             sampled = jnp.where(invalid, empty, sampled)
 
-        sampled = jnp.concatenate([sampled, xyz_code], axis=-1)
+        sampled = jnp.concatenate(
+            [sampled, xyz_code.astype(sampled.dtype)], axis=-1)
 
         if grid.f_combine is not None:
             sampled, invalid = _combine_first_valid(sampled, invalid,

@@ -138,6 +138,59 @@ def pack_corners(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([image, right, down, down_right], axis=-1)
 
 
+def pack_corners_x(image: jnp.ndarray) -> jnp.ndarray:
+    """Pack each pixel's x-neighbor pair into channels:
+    out[y, x] = [I[y,x], I[y,x+1]] with edge clamping.
+
+    For WIDE-channel maps (C > 32) the 4-corner pack of `pack_corners`
+    produces gather rows wider than 128 elements, which hit a ~6x slower
+    TPU gather path (measured: 256-element bf16 rows gather at ~41 GB/s,
+    128-element rows at ~112 GB/s — PERF.md). Packing only the x-pair keeps
+    rows at 2C elements and fetches the y-pair with a second row gather:
+    two fast gathers beat one slow one by ~2x end-to-end.
+
+    image: (..., H, W, C) -> (..., H, W, 2C).
+    """
+    right = jnp.concatenate([image[..., :, 1:, :], image[..., :, -1:, :]],
+                            axis=-2)
+    return jnp.concatenate([image, right], axis=-1)
+
+
+def grid_sample_2d_xpair(packed: jnp.ndarray, coords: jnp.ndarray, *,
+                         align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear sample from an x-pair packed map (see `pack_corners_x`) with
+    border padding semantics — exactly grid_sample_2d(..., "border",
+    "bilinear") up to interpolation dtype, using two row gathers per point
+    (rows y0 and y1).
+
+    Interpolation runs in the packed dtype: for bf16 maps the bf16 lerp
+    weights add error of the same order as the bf16 corner storage itself
+    (2^-8 relative), and avoiding f32 intermediates keeps the consumer
+    fused (measured 1.9 vs 2.8 ms per 245k x 64ch points).
+
+    packed: (..., H, W, 2C); coords: (..., P, 2) -> (..., P, C).
+    """
+    h, w = packed.shape[-3], packed.shape[-2]
+    c = packed.shape[-1] // 2
+    x = _unnormalize(coords[..., 0], w, align_corners)
+    y = _unnormalize(coords[..., 1], h, align_corners)
+    x = jnp.clip(x, 0.0, w - 1)
+    y = jnp.clip(y, 0.0, h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    iy1 = jnp.minimum(iy0 + 1, h - 1)
+    dt = packed.dtype
+    wx1 = (x - x0).astype(dt)[..., None]
+    wy1 = (y - y0).astype(dt)[..., None]
+    rows0 = _row_gather(packed, iy0, ix0)
+    rows1 = _row_gather(packed, iy1, ix0)
+    top = rows0[..., :c] * (1 - wx1) + rows0[..., c:] * wx1
+    bot = rows1[..., :c] * (1 - wx1) + rows1[..., c:] * wx1
+    return top * (1 - wy1) + bot * wy1
+
+
 def grid_sample_2d_packed(packed: jnp.ndarray, coords: jnp.ndarray, *,
                           align_corners: bool = False) -> jnp.ndarray:
     """Bilinear sample from a corner-packed map (see `pack_corners`) with

@@ -70,11 +70,10 @@ def build():
 
     from behindthescenes_tpu.inference import render_depth_selfview
 
-    N_FRAMES = 10
     # Deterministic camera-z sampling is this framework's production
     # inference mode (same K samples/ray, shared z-code table, no sampling
     # noise). BTS_BENCH_JITTERED=1 benchmarks the reference-style
-    # stratified-jitter sampling instead (~9.8M rays/s vs ~14.2M).
+    # stratified-jitter sampling instead.
     deterministic = os.environ.get("BTS_BENCH_JITTERED") != "1"
 
     def render_frame(variables, images, projs, poses, key):
@@ -86,20 +85,18 @@ def build():
             deterministic=deterministic)
         return depth
 
-    def render_n(variables, images, projs, poses, key):
-        # N frames inside ONE compiled program: the host<->device relay in
-        # this environment adds ~28ms per dispatch+sync roundtrip, which
-        # would otherwise swamp the per-frame device time. Each iteration
-        # re-encodes (fresh image) and re-renders.
+    def render_n(variables, images, projs, poses, key, n):
+        # n frames inside ONE compiled program (traced bound -> one
+        # compile serves both loop counts). Each iteration re-encodes a
+        # fresh image and re-renders.
         def body(i, acc):
             k = jax.random.fold_in(key, i)
             d = render_frame(variables, images + acc * 1e-9, projs, poses, k)
             return acc + jnp.sum(d) * 1e-12
-        return jax.lax.fori_loop(0, N_FRAMES, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     fn = jax.jit(render_n)
-    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1)), \
-        N_FRAMES
+    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1))
 
 
 def bench_general_query():
@@ -136,37 +133,48 @@ def bench_general_query():
     p = 245760
     pts = jnp.asarray(rng.uniform(-1, 1, (1, p, 3)) * np.array([8, 2, 1])
                       + np.array([0, 0, 12.0]), dtype=jnp.float32)
-    iters = 30
 
-    def looped(v, g, x):
+    def looped(v, g, x, n):
         def body(i, acc):
             rgb, inv, sig = net.apply(v, g, x + acc * 1e-12,
                                       method=BTSNet.query)
             return acc + jnp.sum(sig) + jnp.sum(rgb)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    jf = jax.jit(looped)
-    float(jf(variables, grid, pts))
-    times = []
-    for _ in range(3):
+    t_iter = marginal_time(jax.jit(looped), (variables, grid, pts), 5, 65)
+    return p / t_iter
+
+
+def marginal_time(jf, args, n_lo, n_hi, reps=6):
+    """Per-iteration device time via the difference of two loop counts.
+
+    The host<->device relay here adds ~28ms per dispatch+sync plus other
+    fixed per-call costs (varying by +-10ms between calls); timing one loop
+    count folds that into every iteration (at 10 iters it inflates per-iter
+    time by ~3ms). The (T(hi) - T(lo)) / (hi - lo) marginal cancels every
+    fixed cost; the hi-lo gap must be large vs the relay jitter. lo/hi
+    calls are interleaved so slow drift cancels too. The loop bound is a
+    traced argument so one compile serves both counts.
+    """
+    lo = jnp.int32(n_lo)
+    hi = jnp.int32(n_hi)
+    float(jf(*args, lo))          # warmup/compile
+    float(jf(*args, hi))
+
+    def t(n):
         t0 = time.perf_counter()
-        float(jf(variables, grid, pts))
-        times.append(time.perf_counter() - t0)
-    return p / (float(np.median(times)) / iters)
+        _ = float(jf(*args, n))   # one sync per call
+        return time.perf_counter() - t0
+
+    ts = [(t(lo), t(hi)) for _ in range(reps)]
+    t_lo = float(np.median([a for a, _ in ts]))
+    t_hi = float(np.median([b for _, b in ts]))
+    return (t_hi - t_lo) / (n_hi - n_lo)
 
 
 def main():
-    fn, args, n_frames = build()
-    out = fn(*args)               # warmup/compile
-    _ = float(out)
-
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(out)            # one sync per N_FRAMES frames
-        times.append(time.perf_counter() - t0)
-    t_frame = float(np.median(times)) / n_frames
+    fn, args = build()
+    t_frame = marginal_time(fn, args, 4, 34)
     rays_per_sec = H * W / t_frame
 
     nvs_pts_per_sec = bench_general_query()

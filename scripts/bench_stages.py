@@ -27,24 +27,31 @@ from behindthescenes_tpu import geometry
 
 H, W = 192, 640
 P = int(sys.argv[1]) if len(sys.argv) > 1 else 245760
-N_ITERS = 20
 
 
-def timeit(name, fn, *args, iters=N_ITERS):
-    def looped(*a):
+def timeit(name, fn, *args, iters=(10, 60)):
+    """Marginal per-iteration time: (T(hi) - T(lo)) / (hi - lo) cancels the
+    relay's ~28ms fixed dispatch+sync cost (PERF.md methodology). The loop
+    bound is traced so one compile serves both counts."""
+    def looped(n, *a):
         def body(i, acc):
             out = fn(*a, salt=acc * 1e-12)
             return acc + out
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     jf = jax.jit(looped)
-    out = float(jf(*args))  # compile+warm
-    times = []
-    for _ in range(3):
+    lo, hi = jnp.int32(iters[0]), jnp.int32(iters[1])
+    float(jf(lo, *args))  # compile+warm
+    float(jf(hi, *args))
+
+    def t(n):
         t0 = time.perf_counter()
-        float(jf(*args))
-        times.append(time.perf_counter() - t0)
-    ms = np.median(times) / iters * 1e3
+        float(jf(n, *args))
+        return time.perf_counter() - t0
+
+    t_lo = np.median([t(lo) for _ in range(3)])
+    t_hi = np.median([t(hi) for _ in range(3)])
+    ms = (t_hi - t_lo) / (iters[1] - iters[0]) * 1e3
     print(f"{name:38s} {ms:8.3f} ms   {P / (ms / 1e3) / 1e6:8.1f} Mpts/s")
     return ms
 
@@ -108,8 +115,24 @@ def main():
                         method=lambda m, a: m.encoder(a, False))
         return jnp.sum(lat[0].astype(jnp.float32))
 
+    from behindthescenes_tpu.models.encoder import ResnetEncoder
+    trunk = ResnetEncoder(50, jnp.bfloat16)
+    trunk_vars = trunk.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+
+    def resnet_only(tv, im, salt=0.0):
+        feats = trunk.apply(tv, (im[0, :1] + salt) * 0.5 + 0.5)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+    def full_encode(v, im, salt=0.0):
+        g = net.apply(v, im + salt, projs, poses, ids_encoder=[0],
+                      ids_render=[0, 1], method=BTSNet.encode)
+        return (jnp.sum(g.features[0].astype(jnp.float32))
+                + jnp.sum(g.color_imgs_packed.astype(jnp.float32)))
+
     timeit("encoder (1 frame 192x640, rn50 bf16)", encoder_only, variables,
-           images, iters=N_ITERS)
+           images)
+    timeit("resnet trunk only (no decoder)", resnet_only, trunk_vars, images)
+    timeit("full encode (CNN + packing)", full_encode, variables, images)
     timeit("project_points", project_only, variables, grid, pts)
     timeit("sample_features (packed bf16)", feats_only, variables, grid, pts)
     timeit("sample_colors (2 views packed)", colors_only, variables, grid,

@@ -1,0 +1,104 @@
+"""Training-step throughput at the flagship KITTI shape on the real chip.
+
+Loops the compiled train step inside one jit (state carried through
+lax.fori_loop, fixed view ids) and reports the marginal per-step time —
+the same methodology as bench.py (PERF.md): fixed relay costs cancel.
+
+Usage: python scripts/bench_train.py [micro_batch] [accum]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from behindthescenes_tpu.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+from behindthescenes_tpu.datasets.synthetic import SyntheticBoxDataset, \
+    collate
+from behindthescenes_tpu.parallel.mesh import make_mesh
+from behindthescenes_tpu.training.trainer import BTSTrainer
+
+H, W = 192, 640
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def main():
+    config = {
+        "seed": 0, "learning_rate": 1e-4, "bf16": True,
+        "model_conf": {
+            "arch": "BTSNet", "z_near": 3.0, "z_far": 80.0, "inv_z": True,
+            "learn_empty": False, "code_mode": "z",
+            "encoder": {"type": "monodepth2", "resnet_layers": 50,
+                        "num_ch_dec": (32, 32, 64, 128, 256), "d_out": 64,
+                        "scales": (0,)},
+            "code": {"num_freqs": 6, "freq_factor": 1.5,
+                     "include_input": True},
+            "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
+            "mlp_fine": {"type": "empty"},
+            "n_frames_render": 2, "frame_sample_mode": "default",
+            "sample_mode": "patch", "patch_size": 8,
+            "ray_batch_size": 2048,
+            "prediction_mode": "default", "flip_augmentation": False,
+        },
+        "loss": {"criterion": "l1+ssim", "invalid_policy": "weight_guided",
+                 "lambda_edge_aware_smoothness": 0.001},
+        "renderer": {"n_coarse": 64, "lindisp": True,
+                     "hard_alpha_cap": True},
+        "scheduler": {"type": "fix"},
+    }
+    ds = SyntheticBoxDataset(length=BATCH, frame_count=4, height=H, width=W,
+                             return_depth=False)
+    batch = collate([ds[i] for i in range(BATCH)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    trainer = BTSTrainer(config, mesh=make_mesh(jax.devices()[:1]))
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(batch, key)
+
+    ids = trainer.wrapper.select_views(np.random.default_rng(0), 4,
+                                       training=True)
+    cfg = trainer.scheduler.step()
+    step = trainer._build_train_step(cfg)
+    train_enc = jnp.asarray(1.0)
+
+    def run_n(state, batch, key, n):
+        def body(i, carry):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, _ = step(st, batch, sub, ids, train_enc)
+            return (st, k)
+        st, _ = jax.lax.fori_loop(0, n, body, (state, key))
+        # Return a param-dependent scalar: returning st.step alone lets XLA
+        # DCE the whole loop (it is just state.step + n).
+        return jnp.sum(st.params["mlp_coarse"]["lin_in"]["kernel"])
+
+    jf = jax.jit(run_n)
+    lo, hi = jnp.int32(3), jnp.int32(13)
+    float(jf(state, batch, key, lo))
+    float(jf(state, batch, key, hi))
+
+    def t(n):
+        t0 = time.perf_counter()
+        float(jf(state, batch, key, n))
+        return time.perf_counter() - t0
+
+    ts = [(t(lo), t(hi)) for _ in range(4)]
+    ms = (np.median([b for _, b in ts]) - np.median([a for a, _ in ts])) \
+        / (int(hi) - int(lo)) * 1e3
+    print(f"train step (batch {BATCH}, 2048 rays x 64 smp, rn50 bf16): "
+          f"{ms:.1f} ms/step = {BATCH / (ms / 1e3):.1f} samples/s")
+
+
+if __name__ == "__main__":
+    main()

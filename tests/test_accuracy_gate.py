@@ -25,10 +25,10 @@ ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "media", "weights",
                         "synthetic_conv_step8400.npz")
 
 
-def _config():
+def _config(bf16=False):
     # Mirrors configs/exp_synthetic.yaml model/renderer blocks.
     return {
-        "seed": 0, "bf16": False,
+        "seed": 0, "bf16": bf16,
         "model_conf": {
             "arch": "BTSNet", "z_near": 1.0, "z_far": 40.0, "inv_z": True,
             "learn_empty": False,
@@ -52,9 +52,12 @@ def _config():
 
 @pytest.mark.skipif(not os.path.exists(ARTIFACT),
                     reason="converged artifact not present")
-def test_converged_synthetic_accuracy():
+@pytest.mark.parametrize("bf16", [False, True])
+def test_converged_synthetic_accuracy(bf16):
+    # bf16=True additionally gates the packed low-precision query path
+    # (corner packing, compute-dtype interp/concat) on converged weights.
     variables = load_params_npz(ARTIFACT)
-    trainer = BTSTrainer(_config(), mesh=make_mesh(jax.devices()[:1]))
+    trainer = BTSTrainer(_config(bf16), mesh=make_mesh(jax.devices()[:1]))
 
     _, test_ds = make_datasets({"type": "Synthetic",
                                 "image_size": (48, 64), "data_fc": 2,

@@ -4,7 +4,9 @@ import numpy as np
 
 from behindthescenes_tpu.ops.grid_sample import (grid_sample_2d,
                                                  grid_sample_2d_packed,
-                                                 pack_corners)
+                                                 grid_sample_2d_xpair,
+                                                 pack_corners,
+                                                 pack_corners_x)
 
 
 def test_packed_matches_plain_bilinear_border():
@@ -17,6 +19,36 @@ def test_packed_matches_plain_bilinear_border():
                                          padding_mode="border"))
     got = np.asarray(grid_sample_2d_packed(pack_corners(img), coords))
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_xpair_matches_plain_bilinear_border():
+    """f32 x-pair path is exact vs the generic sampler (border padding)."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((2, 9, 13, 64)),
+                      dtype=jnp.float32)
+    coords = jnp.asarray(rng.uniform(-1.4, 1.4, (2, 200, 2)),
+                         dtype=jnp.float32)
+    expected = np.asarray(grid_sample_2d(img, coords,
+                                         padding_mode="border"))
+    got = np.asarray(grid_sample_2d_xpair(pack_corners_x(img), coords))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_xpair_bf16_close_to_f32():
+    """bf16 x-pair interp (bf16 lerp weights) stays within bf16 storage
+    noise of the exact f32 result."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((1, 9, 13, 64)),
+                      dtype=jnp.float32)
+    coords = jnp.asarray(rng.uniform(-1.2, 1.2, (1, 300, 2)),
+                         dtype=jnp.float32)
+    expected = np.asarray(grid_sample_2d(img, coords,
+                                         padding_mode="border"))
+    got = np.asarray(grid_sample_2d_xpair(
+        pack_corners_x(img.astype(jnp.bfloat16)), coords)).astype(np.float32)
+    # bf16 relative step is 2^-8; corners + two lerps stay within a few ulps
+    np.testing.assert_allclose(got, expected, atol=0.05)
+    assert np.median(np.abs(got - expected)) < 0.01
 
 
 def test_pack_corners_edges():
