@@ -51,6 +51,33 @@ def test_xpair_bf16_close_to_f32():
     assert np.median(np.abs(got - expected)) < 0.01
 
 
+def test_encode_pack_choice_by_width():
+    """Wide feature maps (C > 32) must use the x-pair pack (2C-element
+    gather rows): 4-corner rows would exceed the 128-element TPU row-gather
+    limit and fall off a 6x cliff (PERF.md finding 3b)."""
+    import jax
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    def grid_for(d_out):
+        net = BTSNet.from_conf({
+            "z_near": 1.0, "z_far": 40.0, "inv_z": True,
+            "learn_empty": False,
+            "code": {"num_freqs": 4, "freq_factor": 1.5},
+            "encoder": {"type": "dummy", "size": (8, 12), "d_out": d_out},
+            "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 32},
+            "mlp_fine": {"type": "empty"},
+        }, compute_dtype=jnp.bfloat16)
+        imgs = jnp.zeros((1, 1, 8, 12, 3))
+        poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+        projs = jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3))
+        v = net.init(jax.random.PRNGKey(0), imgs, projs, poses,
+                     jnp.zeros((1, 4, 3)))
+        return net.apply(v, imgs, projs, poses, method=BTSNet.encode)
+
+    assert grid_for(64).features_packed[0].shape[-1] == 2 * 64   # x-pair
+    assert grid_for(16).features_packed[0].shape[-1] == 4 * 16   # 4-corner
+
+
 def test_pack_corners_edges():
     img = jnp.arange(12.0).reshape(1, 3, 4, 1)
     packed = pack_corners(img)
