@@ -25,6 +25,13 @@ class SyntheticBoxDataset:
     z_far: float = 40.0
     return_depth: bool = True
     seed: int = 0
+    # Samples are deterministic in (seed, idx); cache them so only the
+    # first epoch pays the host-side raycast (~0.3s/sample at 192x640 —
+    # the bottleneck of flagship-shape synthetic training otherwise).
+    cache: bool = True
+
+    def __post_init__(self):
+        self._cache = {}
 
     def __len__(self):
         return self.length
@@ -82,6 +89,14 @@ class SyntheticBoxDataset:
         return rgb.astype(np.float32), depth_z.astype(np.float32)
 
     def __getitem__(self, idx):
+        if self.cache and idx in self._cache:
+            return self._cache[idx]
+        out = self._generate(idx)
+        if self.cache:
+            self._cache[idx] = out
+        return out
+
+    def _generate(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         boxes = self._scene(rng)
         h, w = self.height, self.width

@@ -173,6 +173,14 @@ class ResnetFC(nn.Module):
         h_static = jnp.dot(x_static.astype(dt), w_s.astype(dt))   # (B, H)
         h_dyn = (jnp.dot(x_dynamic_shared.astype(dt), w_d.astype(dt))
                  + bias.astype(dt))                                # (K, H)
+        if self.n_blocks == 0 and self.beta == 0:
+            # Fused Pallas tail: XLA materializes the (B, K, H) rectified
+            # tensor in HBM (~2GB of traffic at flagship depth-render
+            # shapes); the kernel keeps it in VMEM (ops/pallas/shared_z.py).
+            from behindthescenes_tpu.ops.pallas.shared_z import shared_z_tail
+            w_out = self.lin_out.variables["params"]["kernel"]
+            b_out = self.lin_out.variables["params"]["bias"]
+            return shared_z_tail(h_static, h_dyn, w_out.astype(dt), b_out)
         x = h_static[:, None, :] + h_dyn[None, :, :]
         return self._tail(x, None, (1,))
 

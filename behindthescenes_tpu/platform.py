@@ -19,6 +19,18 @@ def apply_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass  # backends already initialized; keep whatever is live
+    # Persistent compilation cache: remote-TPU compiles take 30-90s per
+    # jitted shape, so relaunches (resume, bench reruns) otherwise pay
+    # minutes of recompiles. Harmless if the backend cannot serialize
+    # executables (the cache just stays empty).
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/jax_compile_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception:
+            pass
 
 
 def maybe_init_distributed(config: dict | None = None):

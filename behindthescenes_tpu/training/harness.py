@@ -157,7 +157,8 @@ class CheckpointManager:
 def base_training(config: dict, get_dataflow: Callable,
                   trainer: Optional[BTSTrainer] = None,
                   visualize: Optional[Callable] = None,
-                  on_iteration: Optional[Callable] = None) -> TrainState:
+                  on_iteration: Optional[Callable] = None,
+                  on_validation: Optional[Callable] = None) -> TrainState:
     """The run loop (reference utils/base_trainer.py:24-221 condensed).
 
     get_dataflow(config) -> (train_loader, val_loader, vis_loader).
@@ -257,6 +258,8 @@ def base_training(config: dict, get_dataflow: Callable,
                 metrics = run_validation(trainer, state, val_loader)
                 log.info("validation @ %d: %s", it,
                          {k: round(v, 5) for k, v in metrics.items()})
+                if on_validation is not None:
+                    on_validation(it, metrics)
                 if hc.save_best_metric and hc.save_best_metric in metrics:
                     val = metrics[hc.save_best_metric] * hc.save_best_sign
                     if best_value is None or val > best_value:

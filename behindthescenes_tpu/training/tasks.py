@@ -47,6 +47,7 @@ def bts_training(config):
     trainer = BTSTrainer(config)
     visualize = None
     on_iteration = None
+    on_validation = None
     if config.get("tensorboard", True):
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -64,10 +65,15 @@ def bts_training(config):
                     for k, v in loss_dict.items():
                         writer.add_scalar(f"train/{k}", float(v),
                                           global_step=it)
+
+            def on_validation(it, metrics):
+                for k, v in metrics.items():
+                    writer.add_scalar(f"val/{k}", float(v), global_step=it)
         except ImportError:
             pass
     return base_training(config, bts_get_dataflow, trainer=trainer,
-                         visualize=visualize, on_iteration=on_iteration)
+                         visualize=visualize, on_iteration=on_iteration,
+                         on_validation=on_validation)
 
 
 class _CachedBatchLoader:

@@ -133,6 +133,42 @@ def main():
            images)
     timeit("resnet trunk only (no decoder)", resnet_only, trunk_vars, images)
     timeit("full encode (CNN + packing)", full_encode, variables, images)
+
+    # ---- self-view (depth headline) stages
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.inference import render_depth_selfview
+    rcfg = renderer_lib.RendererConfig(n_coarse=64, n_fine=0, lindisp=True,
+                                       hard_alpha_cap=True)
+    K = 64
+    s = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    z_cam = 1.0 / (1.0 / 3.0 * (1.0 - s) + 1.0 / 80.0 * s)
+
+    def sv_density(v, g, zc, salt=0.0):
+        sig = net.apply(v, g, zc + salt, scale=0, out_hw=(H, W),
+                        method=BTSNet.query_selfview_density_shared_z)
+        return jnp.sum(sig.astype(jnp.float32))
+
+    def sv_composite(v, g, zc, sig, zd, salt=0.0):
+        wts, _ = renderer_lib.weights_from_sigma(sig + salt, zd, rcfg)
+        return jnp.sum(wts * (zc + salt)[None, :])
+
+    def sv_full(v, g, zc, salt=0.0):
+        depth, _, _ = render_depth_selfview(
+            net, variables, g, jax.random.PRNGKey(0), H, W, rcfg,
+            3.0 + salt * 1e-12, 80.0, deterministic=True)
+        return jnp.sum(depth)
+
+    sig0 = jax.jit(lambda v, g, zc: net.apply(
+        v, g, zc, scale=0, out_hw=(H, W),
+        method=BTSNet.query_selfview_density_shared_z))(variables, grid,
+                                                        z_cam)[0]
+    zd0 = jnp.broadcast_to(z_cam[None, :], (H * W, K)) * 1.02
+    timeit("selfview shared-z density (7.9M q)", sv_density, variables,
+           grid, z_cam)
+    timeit("weights_from_sigma + depth reduce", sv_composite, variables,
+           grid, z_cam, sig0, zd0)
+    timeit("render_depth_selfview deterministic", sv_full, variables, grid,
+           z_cam)
     timeit("project_points", project_only, variables, grid, pts)
     timeit("sample_features (packed bf16)", feats_only, variables, grid, pts)
     timeit("sample_colors (2 views packed)", colors_only, variables, grid,
