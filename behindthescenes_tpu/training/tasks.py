@@ -48,6 +48,7 @@ def bts_training(config):
     visualize = None
     on_iteration = None
     on_validation = None
+    writer = None
     if config.get("tensorboard", True):
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -71,9 +72,15 @@ def bts_training(config):
                     writer.add_scalar(f"val/{k}", float(v), global_step=it)
         except ImportError:
             pass
-    return base_training(config, bts_get_dataflow, trainer=trainer,
-                         visualize=visualize, on_iteration=on_iteration,
-                         on_validation=on_validation)
+    try:
+        return base_training(config, bts_get_dataflow, trainer=trainer,
+                             visualize=visualize, on_iteration=on_iteration,
+                             on_validation=on_validation)
+    finally:
+        # SummaryWriter buffers events; without a close, scalars written
+        # near the end of the run never reach disk.
+        if writer is not None:
+            writer.close()
 
 
 class _CachedBatchLoader:
