@@ -64,6 +64,10 @@ class HarnessConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     profile_steps: tuple = (10, 20)    # (start_iter, stop_iter)
     eval_use_iters: bool = True        # False: validate at epoch ends
+    transfer_dtype: Optional[str] = None  # "bfloat16": ship imgs at half
+    # width over the host->device link (cast back to f32 on device in the
+    # train step; loss targets then carry bf16 (~2^-8 relative)
+    # quantization — below 8-bit image noise, but off by default).
 
     @classmethod
     def from_conf(cls, conf: dict) -> "HarnessConfig":
@@ -84,6 +88,7 @@ class HarnessConfig:
             profile_dir=conf.get("profile_dir", None),
             profile_steps=tuple(conf.get("profile_steps", (10, 20))),
             eval_use_iters=conf.get("eval_use_iters", True),
+            transfer_dtype=conf.get("transfer_dtype", None),
         )
 
 
@@ -154,6 +159,31 @@ class CheckpointManager:
                           step=restored["step"]), extra
 
 
+def _device_prefetch(loader, mesh, depth: int = 2, transfer_dtype=None):
+    """Yield batches already sharded onto the device mesh, with
+    `depth`-deep lookahead.
+
+    `jax.device_put` is asynchronous, so enqueuing the transfer of batch
+    i+1 before blocking on batch i's step overlaps host->device traffic
+    with compute. Over this environment's TCP relay a flagship batch is
+    ~20 MB/step; serialized with the step it costs ~as much as the
+    compiled step itself (PERF.md finding 9)."""
+    from collections import deque
+    buf = deque()
+    for batch in loader:
+        if transfer_dtype is not None and "imgs" in batch:
+            # Host->device traffic is dominated by the image tensor; ship
+            # it at reduced width and cast back to f32 in the train step
+            # (BTSTrainer.train_step). Poses/projs/depths stay f32.
+            batch = dict(batch)
+            batch["imgs"] = np.asarray(batch["imgs"]).astype(transfer_dtype)
+        buf.append(shard_batch(batch, mesh))
+        while len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def base_training(config: dict, get_dataflow: Callable,
                   trainer: Optional[BTSTrainer] = None,
                   visualize: Optional[Callable] = None,
@@ -212,9 +242,9 @@ def base_training(config: dict, get_dataflow: Callable,
     for epoch in range(hc.num_epochs):
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        for batch in _device_prefetch(train_loader, trainer.mesh,
+                                      transfer_dtype=hc.transfer_dtype):
             t_data = time.time() - t_iter
-            batch = shard_batch(batch, trainer.mesh)
             key, sub = jax.random.split(key)
             # Profiler window (reference §5.1: torch.profiler scopes ->
             # jax.profiler traces).

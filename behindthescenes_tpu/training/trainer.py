@@ -131,6 +131,12 @@ class BTSTrainer:
 
         def train_step(state: TrainState, batch, key, ids: ViewIds,
                        train_encoder):
+            if batch["imgs"].dtype != jnp.float32:
+                # Images may arrive width-reduced over the host->device
+                # link (HarnessConfig.transfer_dtype); all math stays f32.
+                batch = {**batch,
+                         "imgs": batch["imgs"].astype(jnp.float32)}
+
             def loss_fn(params):
                 variables = {"params": params}
                 if state.batch_stats:

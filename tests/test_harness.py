@@ -68,6 +68,19 @@ def test_run_loop_checkpoints_best_and_resume(tmp_path):
     assert "15" in steps2, steps2
 
 
+def test_run_loop_bf16_transfer(tmp_path):
+    """transfer_dtype=bfloat16 ships imgs at half width over the
+    host->device link; the train step casts back to f32 and trains
+    normally (finite loss, checkpoints written)."""
+    out = str(tmp_path / "run_bf16t")
+    cfg = _tiny_config(out, stop=6)
+    cfg["transfer_dtype"] = "bfloat16"
+    state = bts_training(cfg)
+    assert int(state.step) == 6
+    assert any(d.isdigit()
+               for d in os.listdir(os.path.join(out, "checkpoints")))
+
+
 def test_all_shipped_model_configs_build():
     """Every shipped experiment config must compose and construct a trainer
     (catches dead/unknown model keys — VERDICT round-1 weak #5 class)."""
