@@ -75,6 +75,17 @@ def parse_cli_overrides(args) -> dict:
             value = yaml.safe_load(value)
         except yaml.YAMLError:
             pass
+        if isinstance(value, str):
+            # pyyaml's YAML-1.1 float resolver rejects dotless scientific
+            # notation ("2e-5" stays a string, silently breaking numeric
+            # overrides like lr=2e-5). Hydra/OmegaConf accept it; so do we.
+            try:
+                value = int(value, 0)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
         node = out
         parts = key.split(".")
         for p in parts[:-1]:

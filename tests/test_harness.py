@@ -81,6 +81,28 @@ def test_run_loop_bf16_transfer(tmp_path):
                for d in os.listdir(os.path.join(out, "checkpoints")))
 
 
+def test_cli_override_parsing_types():
+    """Dot-overrides must coerce numerics the way Hydra does — including
+    dotless scientific notation, which pyyaml's YAML-1.1 float resolver
+    rejects (a `learning_rate=2e-5` override silently trained with a str)."""
+    from behindthescenes_tpu.config import parse_cli_overrides
+
+    out = parse_cli_overrides([
+        "learning_rate=2e-5", "a.b=1E6", "stop_iteration=40",
+        "name=run_2e", "flag=true", "frac=0.5", "neg=-3e2",
+        "data.image_size=[24, 32]",
+    ])
+    assert out["learning_rate"] == pytest.approx(2e-5)
+    assert isinstance(out["learning_rate"], float)
+    assert out["a"]["b"] == pytest.approx(1e6)
+    assert out["stop_iteration"] == 40 and isinstance(out["stop_iteration"], int)
+    assert out["name"] == "run_2e"          # not numeric — stays a string
+    assert out["flag"] is True
+    assert out["frac"] == 0.5
+    assert out["neg"] == pytest.approx(-300.0)
+    assert out["data"]["image_size"] == [24, 32]
+
+
 def test_all_shipped_model_configs_build():
     """Every shipped experiment config must compose and construct a trainer
     (catches dead/unknown model keys — VERDICT round-1 weak #5 class)."""
