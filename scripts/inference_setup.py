@@ -29,12 +29,14 @@ DEFAULT_INTRINSICS = {
     "kitti_raw": (0.9185, 2.9477),     # fx, fy for 192x640 KITTI crop
     "kitti_360": (0.7849, 2.9477),
     "re10k": (1.5, 2.25),
+    "synthetic": (1.2, 1.6),           # datasets/synthetic.py:103
 }
 
 DEFAULT_RESOLUTION = {
     "kitti_raw": (192, 640),
     "kitti_360": (192, 640),
     "re10k": (256, 384),
+    "synthetic": (48, 64),             # CI-sized demo/smoke-test family
 }
 
 
