@@ -40,6 +40,13 @@ def load_eval_variables(config: dict, net, sample_batch):
         return {"params": restored["params"],
                 "batch_stats": restored.get("batch_stats", {})}
 
+    if path.endswith(".npz"):
+        from behindthescenes_tpu.utils.io import load_params_npz
+        variables = load_params_npz(path)
+        log.info("loaded npz weights from %s", path)
+        return {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+
     if path.endswith(".pt"):
         from behindthescenes_tpu.import_torch import (import_bts_checkpoint,
                                                       validate_against_template)

@@ -79,3 +79,33 @@ def test_converged_synthetic_accuracy(bf16):
     # absorb the f16 export and the 4-scene subset.
     assert abs_rel < 0.26, f"abs_rel regressed: {abs_rel}"
     assert a1 > 0.60, f"a1 regressed: {a1}"
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged artifact not present")
+def test_converged_synthetic_nvs():
+    """NVS-quality gate on the same converged weights: encode view 0,
+    render view 1 through the chunked general path (the evaluator used by
+    `eval.py -cn eval_synthetic_nvs`; CLI measured PSNR 20.8 / SSIM 0.833
+    over 8 scenes, PERF.md)."""
+    from behindthescenes_tpu.evaluation.nvs import NVSEvaluator
+    from behindthescenes_tpu import renderer as renderer_lib
+
+    variables = load_params_npz(ARTIFACT)
+    cfg = _config()
+    from behindthescenes_tpu.models.bts import BTSNet
+    net = BTSNet.from_conf(cfg["model_conf"])
+    rcfg = renderer_lib.RendererConfig.from_conf(cfg["renderer"])
+    ev = NVSEvaluator(net, rcfg, cfg["model_conf"])
+
+    _, test_ds = make_datasets({"type": "Synthetic",
+                                "image_size": (48, 64), "data_fc": 2,
+                                "length": 64})
+    psnrs, ssims = [], []
+    for i in range(2):
+        batch = collate([test_ds[i]])
+        out = ev.evaluate(variables, batch)
+        psnrs.append(out["psnr"])
+        ssims.append(out["ssim"])
+    assert np.mean(psnrs) > 17.0, f"NVS psnr regressed: {psnrs}"
+    assert np.mean(ssims) > 0.70, f"NVS ssim regressed: {ssims}"
