@@ -118,6 +118,44 @@ def test_kitti_360_bbox_split(tmp_path, monkeypatch, capsys):
     assert "invalid=1" in capsys.readouterr().out
 
 
+# ------------------------------------------- RE10K MINE split
+
+def test_process_mine_split(tmp_path, monkeypatch):
+    import json
+    import pickle
+
+    data = tmp_path / "re10k"
+    data.mkdir()
+    seq_data = {"seqA": {"timestamps": np.array([100, 200, 300],
+                                                np.int64)}}
+    with open(data / "test.pickle", "wb") as f:
+        pickle.dump(seq_data, f)
+
+    split = tmp_path / "mine"
+    split.mkdir()
+    pairs = [{"sequence_id": "seqA", "src_img_obj": {"frame_ts": "200"}},
+             {"sequence_id": "missing", "src_img_obj": {"frame_ts": "1"}}]
+    for fname in ("validation_pairs.json", "test_pairs.json"):
+        with open(split / fname, "w") as f:
+            f.write("\n".join(json.dumps(p) for p in pairs))
+
+    mod = load_script("scripts/datasets/process_mine_split.py")
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "x", "-d", str(data), "-s", str(split), "-o", str(out)])
+    mod.main()
+
+    for mode in ("val", "test"):
+        with open(out / f"{mode}_files.txt") as f:
+            assert f.read().splitlines() == ["seqA 1"]
+
+    # The loader's index parser consumes the output format directly.
+    from behindthescenes_tpu.datasets.realestate10k import (
+        RealEstate10kDataset)
+    assert RealEstate10kDataset._load_index(
+        str(out / "test_files.txt")) == [("seqA", 1)]
+
+
 # ------------------------------------------- KITTI-360 preprocessing
 
 def test_preprocess_kitti_360(tmp_path, monkeypatch):
