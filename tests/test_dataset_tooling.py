@@ -198,3 +198,51 @@ def test_preprocess_kitti_360(tmp_path, monkeypatch):
     # 8-bit quantization + one extra resize round trip.
     assert np.abs(a["imgs"] - b["imgs"]).max() <= 0.05
     np.testing.assert_allclose(a["poses"], b["poses"])
+
+
+# ------------------------------------------------- ORB-SLAM settings
+
+def test_gen_orbslam_settings(tmp_path, monkeypatch, capsys):
+    mod = load_script("scripts/datasets/gen_orbslam_settings.py")
+    data = tmp_path / "data"
+    day = "2011_09_26"
+    (data / day).mkdir(parents=True)
+    fx, fy, cx, cy, b = 721.5377, 721.5377, 609.5593, 172.854, 0.53267221
+    p_l = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]])
+    p_r = p_l.copy()
+    p_r[0, 3] = -b * fx
+    with open(data / day / "calib_cam_to_cam.txt", "w") as f:
+        f.write("P_rect_02: " + " ".join(map(str, p_l.ravel())) + "\n")
+        f.write("P_rect_03: " + " ".join(map(str, p_r.ravel())) + "\n")
+        f.write("S_rect_02: 1242 375\n")
+    out = tmp_path / "settings"
+    monkeypatch.setattr(sys, "argv",
+                        ["gen", "-d", str(data), "-o", str(out)])
+    mod.main()
+    assert "wrote" in capsys.readouterr().out
+
+    # Validate through OpenCV FileStorage — the exact parser ORB-SLAM
+    # uses to consume these files.
+    fs = cv2.FileStorage(str(out / f"{day}.yaml"), cv2.FILE_STORAGE_READ)
+    try:
+        assert fs.getNode("Camera.type").string() == "Rectified"
+        np.testing.assert_allclose(fs.getNode("Camera1.fx").real(), fx,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(fs.getNode("Camera1.cy").real(), cy,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(fs.getNode("Stereo.b").real(), b,
+                                   rtol=1e-6)
+        assert fs.getNode("Camera.width").real() == 1242
+        assert fs.getNode("Camera.height").real() == 375
+        assert fs.getNode("ORBextractor.nFeatures").real() == 2000
+    finally:
+        fs.release()
+
+    # Missing calib -> clear error, not a silent empty run.
+    import pytest
+    empty = tmp_path / "nodata"
+    empty.mkdir()
+    monkeypatch.setattr(sys, "argv",
+                        ["gen", "-d", str(empty), "-o", str(out)])
+    with pytest.raises(SystemExit, match="no day directories"):
+        mod.main()
