@@ -91,10 +91,16 @@ class LPIPSVGG:
 
     @classmethod
     def maybe_create(cls, weights_npz=None):
+        import logging
         import os
         path = weights_npz or os.environ.get("BTS_LPIPS_WEIGHTS")
         if path and os.path.exists(path):
             return cls(path)
+        logging.getLogger("bts_tpu.eval").warning(
+            "LPIPS weights unavailable (%s) — reporting PSNR/SSIM only. "
+            "Convert with scripts/convert_lpips_weights.py and pass "
+            "lpips_weights or set BTS_LPIPS_WEIGHTS.",
+            path or "no path given")
         return None
 
     def features(self, x, num_stages: int = 5):

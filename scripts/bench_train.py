@@ -4,7 +4,10 @@ Loops the compiled train step inside one jit (state carried through
 lax.fori_loop, fixed view ids) and reports the marginal per-step time —
 the same methodology as bench.py (PERF.md): fixed relay costs cancel.
 
-Usage: python scripts/bench_train.py [micro_batch] [accum]
+Usage: python scripts/bench_train.py [micro_batch] [mode]
+  mode: "kitti_raw" (default; 4 views, 2048 rays) or "k360"
+  (8-view stereo+fisheye samples, kitti360-mono split, 4096 rays —
+  the exp_kitti_360 training shape).
 """
 from __future__ import annotations
 
@@ -31,6 +34,7 @@ from behindthescenes_tpu.training.trainer import BTSTrainer
 
 H, W = 192, 640
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+MODE = sys.argv[2] if len(sys.argv) > 2 else "kitti_raw"
 
 
 def main():
@@ -57,8 +61,16 @@ def main():
                      "hard_alpha_cap": True},
         "scheduler": {"type": "fix"},
     }
-    ds = SyntheticBoxDataset(length=BATCH, frame_count=4, height=H, width=W,
-                             return_depth=False)
+    n_views = 4
+    if MODE == "k360":
+        # exp_kitti_360 training shape: 8 views per sample (stereo pair +
+        # 2 fisheye, x2 timesteps), kitti360-mono loss/render split,
+        # 4096 rays.
+        n_views = 8
+        config["model_conf"].update(
+            frame_sample_mode="kitti360-mono", ray_batch_size=4096)
+    ds = SyntheticBoxDataset(length=BATCH, frame_count=n_views, height=H,
+                             width=W, return_depth=False)
     batch = collate([ds[i] for i in range(BATCH)])
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -66,7 +78,7 @@ def main():
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(batch, key)
 
-    ids = trainer.wrapper.select_views(np.random.default_rng(0), 4,
+    ids = trainer.wrapper.select_views(np.random.default_rng(0), n_views,
                                        training=True)
     cfg = trainer.scheduler.step()
     step = trainer._build_train_step(cfg)
@@ -96,7 +108,9 @@ def main():
     ts = [(t(lo), t(hi)) for _ in range(4)]
     ms = (np.median([b for _, b in ts]) - np.median([a for a, _ in ts])) \
         / (int(hi) - int(lo)) * 1e3
-    print(f"train step (batch {BATCH}, 2048 rays x 64 smp, rn50 bf16): "
+    rays = config["model_conf"]["ray_batch_size"]
+    print(f"train step ({MODE}, batch {BATCH}, {n_views} views, "
+          f"{rays} rays x 64 smp, rn50 bf16): "
           f"{ms:.1f} ms/step = {BATCH / (ms / 1e3):.1f} samples/s")
 
 
