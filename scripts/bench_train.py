@@ -5,9 +5,10 @@ lax.fori_loop, fixed view ids) and reports the marginal per-step time —
 the same methodology as bench.py (PERF.md): fixed relay costs cancel.
 
 Usage: python scripts/bench_train.py [micro_batch] [mode]
-  mode: "kitti_raw" (default; 4 views, 2048 rays) or "k360"
+  mode: "kitti_raw" (default; 4 views, 2048 rays), "k360"
   (8-view stereo+fisheye samples, kitti360-mono split, 4096 rays —
-  the exp_kitti_360 training shape).
+  the exp_kitti_360 training shape), or "re10k" (256x384, 3 views,
+  1024 rays x 48 samples — the exp_re10k training shape).
 """
 from __future__ import annotations
 
@@ -62,6 +63,14 @@ def main():
         "scheduler": {"type": "fix"},
     }
     n_views = 4
+    if MODE == "re10k":
+        # exp_re10k training shape: mono video, 3 frames/sample, 256x384,
+        # 1024 rays x 48 coarse samples.
+        global H, W
+        H, W = 256, 384
+        n_views = 3
+        config["model_conf"].update(ray_batch_size=1024)
+        config["renderer"]["n_coarse"] = 48
     if MODE == "k360":
         # exp_kitti_360 training shape: 8 views per sample (stereo pair +
         # 2 fisheye, x2 timesteps), kitti360-mono loss/render split,
@@ -109,8 +118,9 @@ def main():
     ms = (np.median([b for _, b in ts]) - np.median([a for a, _ in ts])) \
         / (int(hi) - int(lo)) * 1e3
     rays = config["model_conf"]["ray_batch_size"]
-    print(f"train step ({MODE}, batch {BATCH}, {n_views} views, "
-          f"{rays} rays x 64 smp, rn50 bf16): "
+    smp = config["renderer"]["n_coarse"]
+    print(f"train step ({MODE}, batch {BATCH}, {n_views} views {H}x{W}, "
+          f"{rays} rays x {smp} smp, rn50 bf16): "
           f"{ms:.1f} ms/step = {BATCH / (ms / 1e3):.1f} samples/s")
 
 
