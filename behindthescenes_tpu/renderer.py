@@ -147,10 +147,22 @@ def weights_from_sigma(sigma, z_samp, cfg: RendererConfig):
     alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jax.nn.relu(sigma))
     if cfg.hard_alpha_cap:
         alphas = alphas.at[..., -1].set(1.0)
-    alphas_shifted = jnp.concatenate(
-        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1)
-    transmittance = jnp.cumprod(alphas_shifted, axis=-1)
-    weights = alphas * transmittance[..., :-1]
+    # Transmittance T_k = prod_{j<k}(1-alpha_j) computed in log space with
+    # the exclusive cumsum as ONE (..., K)x(K, K) triangular matmul:
+    # jnp.cumprod lowers to a log2(K)-pass associative scan over the whole
+    # (rays, K) tensor (1.04 ms/frame), while the matmul rides the
+    # otherwise-idle MXU and fuses into a single elementwise pass
+    # (0.03 ms/frame) — scripts/bench_composite.py. f32 accumulation
+    # pinned: the default bf16 matmul costs 1e-3 in the weights.
+    # The floor must be a CLAMP, not the reference's `+ 1e-10`: under jit
+    # XLA reassociates (1 - a) + 1e-10 into (1 + 1e-10) - a == 1.0 - a,
+    # so saturated alphas would hit log(0) = -inf and 0 * -inf = NaN in
+    # the matmul (cumprod survived the same fold benignly as a 0 term).
+    k = alphas.shape[-1]
+    log_terms = jnp.log(jnp.maximum(1.0 - alphas, 1e-10))
+    tri = jnp.tril(jnp.ones((k, k), dtype=log_terms.dtype), k=-1)
+    log_transmittance = jnp.matmul(log_terms, tri.T, precision="highest")
+    weights = alphas * jnp.exp(log_transmittance)
     return weights, alphas
 
 

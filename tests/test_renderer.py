@@ -119,3 +119,58 @@ def test_sample_scheduler():
     sch2 = rlib.SampleScheduler(cfg)
     sch2.load_state_dict(state)
     assert sch2.last_sched == 2
+
+
+def test_weights_matmul_matches_cumprod_and_grads():
+    """The log-space triangular-matmul transmittance (TPU: one MXU pass
+    instead of a log2(K)-pass cumprod scan — PERF.md) must match the
+    reference cumprod semantics (nerf.py:283-294) in values AND gradients."""
+    cfg = rlib.RendererConfig(n_coarse=16, n_fine=0, lindisp=False,
+                              hard_alpha_cap=True)
+    rng = np.random.default_rng(3)
+    sigma = jnp.asarray(rng.uniform(0, 3, (64, 16)), dtype=jnp.float32)
+    z = jnp.sort(jnp.asarray(rng.uniform(1, 40, (64, 16)),
+                             dtype=jnp.float32), axis=-1)
+
+    def weights_cumprod(sig):
+        deltas = z[..., 1:] - z[..., :-1]
+        deltas = jnp.concatenate(
+            [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1)
+        alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jax.nn.relu(sig))
+        alphas = alphas.at[..., -1].set(1.0)
+        shifted = jnp.concatenate(
+            [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1)
+        return alphas * jnp.cumprod(shifted, axis=-1)[..., :-1]
+
+    w, _ = rlib.weights_from_sigma(sigma, z, cfg)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(weights_cumprod(sigma)),
+                               atol=2e-5)
+    g_new = jax.grad(lambda s: jnp.sum(
+        rlib.weights_from_sigma(s, z, cfg)[0] * z))(sigma)
+    g_ref = jax.grad(lambda s: jnp.sum(weights_cumprod(s) * z))(sigma)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-4)
+
+
+def test_weights_saturated_alphas_finite_under_jit():
+    """Regression: XLA folds (1 - a) + 1e-10 into 1.0 - a under jit, so a
+    saturated interior alpha (huge sigma) hit log(0) = -inf and the 0-entry
+    triangular matmul turned the whole ray NaN. The clamp formulation must
+    stay finite both eager and jitted."""
+    cfg = rlib.RendererConfig(n_coarse=12, n_fine=0, lindisp=False,
+                              hard_alpha_cap=True)
+    rng = np.random.default_rng(0)
+    sigma = jnp.asarray(np.where(rng.uniform(size=(128, 12)) < 0.4,
+                                 1e5, 0.7), dtype=jnp.float32)
+    z = jnp.sort(jnp.asarray(rng.uniform(1, 40, (128, 12)),
+                             dtype=jnp.float32), axis=-1)
+    w_eager, a = rlib.weights_from_sigma(sigma, z, cfg)
+    w_jit, _ = jax.jit(rlib.weights_from_sigma, static_argnums=2)(
+        sigma, z, cfg)
+    assert int((np.asarray(a)[:, :-1] == 1.0).sum()) > 0  # saturation real
+    assert np.isfinite(np.asarray(w_eager)).all()
+    assert np.isfinite(np.asarray(w_jit)).all()
+    np.testing.assert_allclose(np.asarray(w_jit), np.asarray(w_eager),
+                               atol=1e-6)
+    # Weights of a hard-cap ray still sum to 1.
+    np.testing.assert_allclose(np.asarray(w_jit.sum(-1)), 1.0, atol=1e-5)
