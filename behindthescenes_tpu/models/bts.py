@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from behindthescenes_tpu import geometry
 from behindthescenes_tpu.models.encoder import make_backbone
 from behindthescenes_tpu.models.mlp import make_mlp
-from behindthescenes_tpu.ops.grid_sample import grid_sample_2d
+from behindthescenes_tpu.ops.grid_sample import (grid_sample_2d,
+                                                 resample_uniform_lattice)
 from behindthescenes_tpu.ops.posenc import PositionalEncoding
 
 EPS = 1e-3
@@ -432,8 +433,10 @@ class BTSNet(nn.Module):
         ys = jnp.linspace(-1.0, 1.0, h, dtype=feature_map.dtype)
         gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
         xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)
-        feats = grid_sample_2d(feature_map[0, 0][None], xy[None],
-                               align_corners=False, padding_mode="border")
+        # Uniform static lattice -> separable MXU resample instead of 4
+        # gather streams (1.21 -> ~0.07 ms/frame, PERF.md finding 12).
+        feats = resample_uniform_lattice(
+            feature_map[0, 0], (h, w)).reshape(1, h * w, c)
 
         coord = z_cam
         if self.inv_z:
@@ -493,10 +496,11 @@ class BTSNet(nn.Module):
         # One bilinear resample per FRAME (not per sample): with
         # align_corners=False the [-1,1] pixel grid does not land on texel
         # centers, so parity with the general path (models_bts.py:179)
-        # needs this blend. It amortizes over all K samples of every ray.
-        feats = grid_sample_2d(feature_map[0, 0][None], xy[None],
-                               align_corners=False,
-                               padding_mode="border")          # (1, h*w, c)
+        # needs this blend. It amortizes over all K samples of every ray;
+        # the static lattice factors into a separable MXU resample
+        # (PERF.md finding 12).
+        feats = resample_uniform_lattice(
+            feature_map[0, 0], (h, w)).reshape(1, h * w, c)    # (1, h*w, c)
 
         # Camera z of each sample: z_samp is distance along the unit ray;
         # the ray's camera-frame direction has z-component 1/norm(dir_cam).

@@ -218,3 +218,45 @@ def grid_sample_2d_packed(packed: jnp.ndarray, coords: jnp.ndarray, *,
     top = v00 * (1 - wx1) + v01 * wx1
     bot = v10 * (1 - wx1) + v11 * wx1
     return top * (1 - wy1) + bot * wy1
+
+
+def _lattice_matrix(out_size: int, in_size: int) -> "np.ndarray":
+    """(out_size, in_size) bilinear-resample matrix for the uniform
+    linspace(-1, 1, out_size) lattice under align_corners=False + border
+    padding — the 1-D factor of what grid_sample_2d computes on that
+    lattice."""
+    import numpy as np
+    x = np.linspace(-1.0, 1.0, out_size, dtype=np.float64)
+    u = ((x + 1.0) * in_size - 1.0) * 0.5          # _unnormalize
+    u = np.clip(u, 0.0, in_size - 1)               # border
+    i0 = np.floor(u).astype(np.int64)
+    f = (u - i0).astype(np.float64)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    mat[np.arange(out_size), i0] += (1.0 - f).astype(np.float32)
+    mat[np.arange(out_size), i1] += f.astype(np.float32)
+    return mat
+
+
+def resample_uniform_lattice(image: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear resample of `image` onto the uniform linspace(-1, 1)
+    lattice — numerically the separable form of
+    grid_sample_2d(image, lattice, align_corners=False, "border").
+
+    The lattice is static, so the resample factors into two small banded
+    matmuls (rows then columns) that run on the MXU instead of 4 gather
+    streams: 1.21 -> ~0.07 ms for a (192, 640, 64) map resampled to its own
+    resolution (PERF.md finding 12). The dense matrices waste FLOPs (only
+    2 nonzeros per row) but MXU FLOPs are idle in this phase.
+
+    image: (H, W, C); out_hw: (out_h, out_w). Returns (out_h, out_w, C)
+    in image's dtype (f32 MXU accumulation — at least as accurate as the
+    gather path's lerp).
+    """
+    h, w, _ = image.shape
+    oh, ow = out_hw
+    ry = jnp.asarray(_lattice_matrix(oh, h), dtype=image.dtype)
+    rx = jnp.asarray(_lattice_matrix(ow, w), dtype=image.dtype)
+    out = jnp.einsum("oh,hwc->owc", ry, image)
+    out = jnp.einsum("pw,owc->opc", rx, out)
+    return out.astype(image.dtype)

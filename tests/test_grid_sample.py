@@ -64,3 +64,24 @@ def test_grid_sample_gradable():
 
     g = jax.grad(f)(img)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_resample_uniform_lattice_matches_grid_sample():
+    """The separable MXU resample must equal grid_sample_2d on the uniform
+    linspace(-1,1) lattice (align_corners=False, border) — the self-view
+    fast paths' sampling pattern."""
+    from behindthescenes_tpu.ops.grid_sample import (
+        grid_sample_2d, resample_uniform_lattice)
+    rng = np.random.default_rng(0)
+    for (h, w), (oh, ow) in (((12, 20), (12, 20)), ((12, 20), (24, 40)),
+                             ((9, 7), (5, 11))):
+        img = jnp.asarray(rng.normal(size=(h, w, 6)), dtype=jnp.float32)
+        xs = jnp.linspace(-1.0, 1.0, ow)
+        ys = jnp.linspace(-1.0, 1.0, oh)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+        xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+        ref = grid_sample_2d(img[None], xy[None], align_corners=False,
+                             padding_mode="border")[0]
+        got = resample_uniform_lattice(img, (oh, ow)).reshape(oh * ow, 6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
