@@ -441,7 +441,10 @@ class Kitti360Dataset:
             v = (projs @ (pose_w2c[:3, :3] @ verts.T
                           + pose_w2c[:3, 3, None])).T
             v = v.copy()
-            v[:, :2] /= v[:, 2:3]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # A vertex at z == 0 yields inf/nan, which the comparisons
+                # below already classify as outside the frustum.
+                v[:, :2] /= v[:, 2:3]
             valid = (((v[:, 0] >= -1) & (v[:, 0] <= 1))
                      & ((v[:, 1] >= -1) & (v[:, 1] <= 1))
                      & ((v[:, 2] > 0) & (v[:, 2] <= 80)))

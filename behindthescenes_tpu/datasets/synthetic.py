@@ -138,6 +138,18 @@ class SyntheticBoxDataset:
 
 
 def collate(samples):
-    """Stack a list of sample dicts into a batch dict (leading n dim)."""
+    """Stack a list of sample dicts into a batch dict (leading n dim).
+
+    Ragged metadata fields (e.g. KITTI-360's `3d_bboxes`, a per-sample
+    LIST of box dicts) pass through as plain lists — np.stack would turn
+    them into object arrays that downstream `b["semanticId"]` indexing
+    chokes on."""
     keys = samples[0].keys()
-    return {k: np.stack([s[k] for s in samples]) for k in keys}
+    out = {}
+    for k in keys:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], (list, tuple, dict)):
+            out[k] = vals
+        else:
+            out[k] = np.stack(vals)
+    return out

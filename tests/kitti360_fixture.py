@@ -81,3 +81,61 @@ def build_kitti360_tree(root, n_frames=5):
     with open(split / "test_files.txt", "w") as f:
         f.write(f"{SEQ} 2 l\n")
     return root
+
+
+def _cube_vertices(center, size):
+    cx, cy, cz = center
+    s = size / 2.0
+    return np.array([[cx + dx * s, cy + dy * s, cz + dz * s]
+                     for dx in (-1, 1) for dy in (-1, 1) for dz in (-1, 1)],
+                    dtype=np.float64)
+
+
+_CUBE_FACES = np.array(
+    [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+     [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+    dtype=np.int64)
+
+
+def add_bboxes_and_semantics(root, n_frames=5):
+    """Augment a `build_kitti360_tree` tree with the assets the 3D-bbox
+    occupancy benchmark consumes: static car boxes in
+    data_3d_bboxes/train_full/<seq>.xml (reference annotation.py schema)
+    and per-frame semantic label maps (data_2d_semantics)."""
+    import xml.etree.ElementTree as ET
+    data = root / "data"
+    # Two static cars along the drive (poses advance z by 1.1/frame).
+    boxes = [(26, 1, (1.5, 0.4, 10.0), 2.0), (26, 2, (-2.0, 0.4, 22.0), 2.5)]
+    xroot = ET.Element("opencv_storage")
+    for sem_id, inst, center, size in boxes:
+        obj = ET.SubElement(xroot, "object")
+        ET.SubElement(obj, "semanticId").text = str(sem_id)
+        ET.SubElement(obj, "instanceId").text = str(inst)
+        ET.SubElement(obj, "timestamp").text = "-1"
+        ET.SubElement(obj, "label").text = "car"
+        tr = ET.SubElement(obj, "transform")
+        ET.SubElement(tr, "data").text = " ".join(
+            map(str, np.eye(4).ravel()))
+        vt = ET.SubElement(obj, "vertices")
+        ET.SubElement(vt, "data").text = " ".join(
+            map(str, _cube_vertices(center, size).ravel()))
+        fc = ET.SubElement(obj, "faces")
+        ET.SubElement(fc, "data").text = " ".join(
+            map(str, _CUBE_FACES.astype(np.float64).ravel()))
+    bbox_dir = data / "data_3d_bboxes" / "train_full"
+    bbox_dir.mkdir(parents=True, exist_ok=True)
+    ET.ElementTree(xroot).write(bbox_dir / f"{SEQ}.xml")
+
+    # Semantic maps: road (7) with a central car (26) blob. The benchmark
+    # only needs label-consistent pixels for the labeled ray/box
+    # intercepts; semantic_rgb existence gates the semantics split.
+    sem = data / "data_2d_semantics" / "train" / SEQ / "image_00"
+    (sem / "semantic").mkdir(parents=True, exist_ok=True)
+    (sem / "semantic_rgb").mkdir(parents=True, exist_ok=True)
+    seg = np.full((HP, WP), 7, dtype=np.uint8)
+    seg[HP // 3: 2 * HP // 3, WP // 3: 2 * WP // 3] = 26
+    for i in range(n_frames):
+        cv2.imwrite(str(sem / "semantic" / f"{i:010d}.png"), seg)
+        cv2.imwrite(str(sem / "semantic_rgb" / f"{i:010d}.png"),
+                    np.stack([seg] * 3, -1))
+    return root

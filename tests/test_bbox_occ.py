@@ -88,3 +88,47 @@ def test_bbox_evaluator_end_to_end():
     out = ev.evaluate(variables, batch)
     assert {"o_acc", "ie_acc", "t_ie"} <= set(out)
     assert 0.0 <= out["o_acc"] <= 1.0
+
+
+def test_bbox_evaluator_through_dataset_and_collate(tmp_path):
+    """Regression: the full eval_3dbb dataflow — Kitti360Dataset with
+    return_3d_bboxes/return_segmentation -> collate -> evaluator. collate
+    once np.stack'ed the ragged per-sample bbox dict lists into object
+    arrays, crashing the evaluator's b[\"semanticId\"] filter."""
+    import sys
+    sys.path.insert(0, "tests")
+    from kitti360_fixture import (build_kitti360_tree,
+                                  add_bboxes_and_semantics)
+    from behindthescenes_tpu.datasets.kitti_360 import Kitti360Dataset
+    from behindthescenes_tpu.datasets.synthetic import collate
+
+    tree = build_kitti360_tree(tmp_path / "k360")
+    add_bboxes_and_semantics(tree)
+    h, w = 48, 176
+    ds = Kitti360Dataset(
+        data_path=str(tree / "data"), pose_path=str(tree / "poses"),
+        split_path=str(tree / "split" / "test_files.txt"),
+        target_image_size=(h, w), return_stereo=False, return_fisheye=False,
+        frame_count=1, return_3d_bboxes=True, return_segmentation=True)
+    batch = collate([ds[0]])
+    assert isinstance(batch["3d_bboxes"], list)          # ragged passthrough
+    assert isinstance(batch["3d_bboxes"][0][0], dict)
+    assert batch["segs"].shape == (1, 1, h, w)
+
+    net = BTSNet(
+        z_near=3.0, z_far=80.0,
+        encoder_conf={"type": "dummy", "size": (h, w), "d_out": 8},
+        code_conf={"num_freqs": 4, "freq_factor": 1.5},
+        mlp_coarse_conf={"type": "resnet", "n_blocks": 0, "d_hidden": 16},
+        mlp_fine_conf={"type": "empty"},
+        learn_empty=False,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(batch["imgs"]),
+                         jnp.asarray(batch["projs"]),
+                         jnp.asarray(batch["poses"]), jnp.zeros((1, 8, 3)))
+    cfg = rlib.RendererConfig(n_coarse=8, lindisp=True, hard_alpha_cap=True)
+    ev = BBoxOccEvaluator(net, cfg, {"z_near": 3.0, "z_far": 80.0,
+                                     "query_batch_size": 4096}, ds)
+    out = ev.evaluate(variables, batch)
+    assert {"o_acc", "ie_acc", "t_ie"} <= set(out)
+    assert np.isfinite(out["o_acc"])
