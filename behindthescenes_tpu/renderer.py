@@ -28,6 +28,14 @@ class RendererConfig:
     lindisp: bool = False
     hard_alpha_cap: bool = False
     sched: Optional[Tuple] = None
+    # Serving-only: the fine pass reuses the coarse pass's queried
+    # sigma/rgb/invalid instead of re-querying the coarse z's (the reference
+    # re-queries ALL of sort(concat(z_coarse, z_fine)) — nerf.py:230-238 —
+    # so n_coarse + n_fine importance costs n_coarse + (n_coarse + n_fine)
+    # field queries). The field is deterministic in position, so caching is
+    # output-identical and cuts fine-pass queries to n_fine only.
+    # Requires noise_std == 0 (each reference pass draws fresh sigma noise).
+    fine_reuse_coarse: bool = False
 
     @property
     def using_fine(self) -> bool:
@@ -48,6 +56,7 @@ class RendererConfig:
             lindisp=conf.get("lindisp", True),
             hard_alpha_cap=conf.get("hard_alpha_cap", False),
             sched=tuple(map(tuple, sched)) if sched is not None else None,
+            fine_reuse_coarse=conf.get("fine_reuse_coarse", False),
         )
 
 
@@ -209,6 +218,82 @@ def composite(query_fn: Callable, rays, z_samp, cfg: RendererConfig,
         "invalid": invalid,
         "z_samps": z_samp,
         "rgb_samps": rgbs,
+        "sigmas": sigmas,
+    }
+
+
+def composite_merged(query_fn: Callable, rays, z_cached, cached: dict,
+                     z_new, cfg: RendererConfig, coarse: bool = False):
+    """Fine-pass composite that reuses the coarse pass's per-sample field
+    values and queries ONLY the new fine samples (`fine_reuse_coarse`).
+
+    Compositing runs over the UNSORTED concatenation [z_cached, z_new]:
+    sorting is replaced by data-dependent comparison masks — the per-sample
+    delta is a masked min over successors and the transmittance's exclusive
+    prefix sum (PERF.md finding 11) generalizes from the static triangular
+    matrix to the predecessor mask. Ties break by concat index, matching
+    jnp.sort's stable order exactly, so outputs equal the reference
+    re-query path (nerf.py:230-238) up to float reassociation. Per-sample
+    outputs (weights/alphas/z_samps/rgb_samps/invalid) come back in concat
+    order — reductions over samples are unaffected; do not feed them to
+    order-sensitive consumers (`sample_from_dist`).
+
+    cached: dict with "sigmas" (n,B,Kc), "rgb_samps" (n,B,Kc,v*3),
+      "invalid" (n,B,Kc,v) from the coarse composite.
+    """
+    if cfg.noise_std > 0.0:
+        raise ValueError("fine_reuse_coarse requires noise_std == 0")
+    n, b, kn = z_new.shape
+    points = rays[..., None, :3] + z_new[..., None] * rays[..., None, 3:6]
+    points = points.reshape(n, b * kn, 3)
+    with jax.named_scope("renderer_composite_fine_new"):
+        rgbs_new, invalid_new, sigmas_new = query_fn(points, coarse)
+    v3 = rgbs_new.shape[-1]
+    nv = invalid_new.shape[-1]
+
+    z_all = jnp.concatenate([z_cached, z_new], axis=-1)          # (n, B, K)
+    sigmas = jnp.concatenate(
+        [cached["sigmas"], sigmas_new.reshape(n, b, kn)], axis=-1)
+    rgbs = jnp.concatenate(
+        [cached["rgb_samps"], rgbs_new.reshape(n, b, kn, v3)], axis=-2)
+    invalid = jnp.concatenate(
+        [cached["invalid"], invalid_new.reshape(n, b, kn, nv)], axis=-2)
+
+    k = z_all.shape[-1]
+    zi = z_all[..., :, None]                                     # (n,B,K,1)
+    zj = z_all[..., None, :]                                     # (n,B,1,K)
+    idx = jnp.arange(k)
+    tie_gt = idx[None, :] > idx[:, None]                         # (K, K)
+    succ = (zj > zi) | ((zj == zi) & tie_gt)                     # j after i
+    # Gap to the next sample in (z, index)-stable order; the maximal sample
+    # has no successor and keeps the reference's delta_inf = 1e10.
+    deltas = jnp.min(jnp.where(succ, zj - zi, 1e10), axis=-1)    # (n, B, K)
+    alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jax.nn.relu(sigmas))
+    if cfg.hard_alpha_cap:
+        alphas = jnp.where(deltas >= 1e10, 1.0, alphas)
+    log_terms = jnp.log(jnp.maximum(1.0 - alphas, 1e-10))
+    # Exclusive prefix sum over predecessors: finding 11's triangular
+    # matmul with the data-dependent predecessor mask.
+    pred = (~succ).astype(log_terms.dtype) - jnp.eye(k, dtype=log_terms.dtype)
+    log_transmittance = jnp.einsum("...ij,...j->...i", pred, log_terms,
+                                   precision="highest")
+    weights = alphas * jnp.exp(log_transmittance)
+
+    rgb_final = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    depth_final = jnp.sum(weights * z_all, axis=-1)
+    if cfg.white_bkgd:
+        pix_alpha = jnp.sum(weights, axis=-1)
+        rgb_final = rgb_final + (1.0 - pix_alpha[..., None])
+
+    return {
+        "weights": weights,
+        "rgb": rgb_final,
+        "depth": depth_final,
+        "alphas": alphas,
+        "invalid": invalid,
+        "z_samps": z_all,
+        "rgb_samps": rgbs,
+        "sigmas": sigmas,
     }
 
 
@@ -249,18 +334,24 @@ def render_rays(query_fn: Callable, rays, key, cfg: RendererConfig,
                                 want_z_samps, want_rgb_samps)}
 
     if cfg.using_fine:
-        all_samps = [z_coarse]
+        new_samps = []
         if cfg.n_fine - cfg.n_fine_depth > 0:
-            all_samps.append(sample_fine(
+            new_samps.append(sample_fine(
                 k_fine, rays, jax.lax.stop_gradient(coarse_out["weights"]),
                 cfg.n_fine - cfg.n_fine_depth, cfg.n_coarse, cfg.lindisp))
         if cfg.n_fine_depth > 0:
-            all_samps.append(sample_fine_depth(
+            new_samps.append(sample_fine_depth(
                 k_fd, rays, coarse_out["depth"], cfg.n_fine_depth,
                 cfg.depth_std))
-        z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
-        fine_out = composite(query_fn, rays, z_combine, cfg, coarse=False,
-                             noise_key=k_noise_f)
+        if cfg.fine_reuse_coarse and cfg.noise_std == 0.0:
+            z_new = jnp.concatenate(new_samps, axis=-1)
+            fine_out = composite_merged(query_fn, rays, z_coarse,
+                                        coarse_out, z_new, cfg, coarse=False)
+        else:
+            z_combine = jnp.sort(
+                jnp.concatenate([z_coarse] + new_samps, axis=-1), axis=-1)
+            fine_out = composite(query_fn, rays, z_combine, cfg,
+                                 coarse=False, noise_key=k_noise_f)
         outputs["fine"] = _prune(fine_out, want_weights, want_alphas,
                                  want_z_samps, want_rgb_samps)
     return outputs

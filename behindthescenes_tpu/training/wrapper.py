@@ -30,6 +30,16 @@ class BTSWrapper:
                  config: dict):
         self.net = net
         self.renderer_cfg = renderer_cfg
+        has_fine_mlp = bool(net.mlp_fine_conf) and \
+            net.mlp_fine_conf.get("type", "empty") != "empty"
+        if renderer_cfg.fine_reuse_coarse and has_fine_mlp:
+            # With a distinct fine MLP the reference fine pass re-queries the
+            # coarse z's THROUGH THE FINE MLP (nerf.py:230-238 + the
+            # coarse-flag dispatch, models_bts.py:311-321); cached coarse
+            # values would come from the coarse MLP and diverge.
+            raise ValueError(
+                "renderer.fine_reuse_coarse requires mlp_fine: empty "
+                "(the fine pass must evaluate the same network as coarse)")
 
         self.z_near = config["z_near"]
         self.z_far = config["z_far"]

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from bench import H, W, N_COARSE, marginal_time  # flagship shapes
 
 
-def main(ray_chunks):
+def main(ray_chunks, n_coarse=None, n_fine=0, reuse=False):
     from behindthescenes_tpu.models.bts import BTSNet
     from behindthescenes_tpu import renderer as renderer_lib
     from behindthescenes_tpu.ray_sampler import ImageRaySampler
@@ -48,7 +48,8 @@ def main(ray_chunks):
     }
     net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
     rcfg = renderer_lib.RendererConfig(
-        n_coarse=N_COARSE, n_fine=0, lindisp=True, hard_alpha_cap=True)
+        n_coarse=n_coarse or N_COARSE, n_fine=n_fine, lindisp=True,
+        hard_alpha_cap=True, fine_reuse_coarse=reuse)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)),
@@ -79,18 +80,33 @@ def main(ray_chunks):
 
                 out = renderer_lib.render_rays_chunked(
                     query_fn, rays, k, rcfg, ray_chunk=ray_chunk)
-                c = out["coarse"]
+                c = out.get("fine", out["coarse"])
                 return (acc + jnp.sum(c["rgb"].astype(jnp.float32))
                         + jnp.sum(c["depth"]) + jnp.sum(c["invalid"]))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         t = marginal_time(jax.jit(frame), (variables, grid, rays,
                                            jax.random.PRNGKey(1)), 2, 10)
-        print(f"NVS frame (general path, chunk {ray_chunk:6d}): "
+        # Queried field points per ray: coarse pass + fine pass (the
+        # reference fine pass re-queries coarse+fine; reuse queries fine
+        # only — renderer.fine_reuse_coarse).
+        ppr = rcfg.n_coarse + (0 if not n_fine else
+                               (n_fine if reuse else rcfg.n_coarse + n_fine))
+        tag = (f"{rcfg.n_coarse}+{n_fine}"
+               f"{' reuse' if reuse else ' requery' if n_fine else ''}")
+        print(f"NVS frame ({tag}, {ppr} qpts/ray, chunk {ray_chunk:6d}): "
               f"{t * 1e3:7.2f} ms  = {H * W / t / 1e6:6.2f} M rays/s  "
-              f"({H * W * N_COARSE / t / 1e6:7.1f} M pts/s)")
+              f"({H * W * ppr / t / 1e6:7.1f} M qpts/s)")
 
 
 if __name__ == "__main__":
-    chunks = [int(a) for a in sys.argv[1:]] or [16384, 30720, 61440]
-    main(chunks)
+    chunks, kw = [], {}
+    for a in sys.argv[1:]:
+        if a.startswith("--fine="):          # e.g. --fine=24+16
+            c, f = a.split("=")[1].split("+")
+            kw["n_coarse"], kw["n_fine"] = int(c), int(f)
+        elif a == "--reuse":
+            kw["reuse"] = True
+        else:
+            chunks.append(int(a))
+    main(chunks or [16384, 30720, 61440], **kw)

@@ -174,3 +174,74 @@ def test_weights_saturated_alphas_finite_under_jit():
                                atol=1e-6)
     # Weights of a hard-cap ray still sum to 1.
     np.testing.assert_allclose(np.asarray(w_jit.sum(-1)), 1.0, atol=1e-5)
+
+
+def _smooth_query(v=2):
+    """Smooth xyz-dependent density + per-view rgb — order bugs in the
+    merged composite show up as depth/rgb drift."""
+    def query_fn(xyz, coarse):
+        n, p, _ = xyz.shape
+        z = xyz[..., 2:3]
+        sigma = 0.8 * jax.nn.sigmoid(2.0 * (z - 4.0)) + 0.05 * jnp.sin(z)
+        rgb = jnp.concatenate(
+            [jnp.sin(0.7 * z + i) * 0.5 + 0.5 for i in range(v)] * 3,
+            axis=-1).reshape(n, p, 3 * v)
+        invalid = (jnp.sin(3.0 * z) > 0.9).astype(jnp.float32)
+        invalid = jnp.repeat(invalid, v, axis=-1)
+        return rgb, invalid, sigma
+    return query_fn
+
+
+def test_fine_reuse_coarse_matches_requery():
+    """`fine_reuse_coarse` queries only the NEW fine samples and composites
+    the unsorted merged set with comparison masks; outputs must equal the
+    reference re-query-everything path (nerf.py:230-238) bit-for-bit up to
+    float reassociation. depth_std is huge so sample_fine_depth CLIPS many
+    samples to near/far — exact ties exercising the stable-order
+    tie-break."""
+    rng = np.random.default_rng(7)
+    rays = np.zeros((1, 64, 8), dtype=np.float32)
+    dirs = rng.normal(size=(64, 3))
+    rays[0, :, 3:6] = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays[0, :, :3] = rng.normal(size=(64, 3)) * 0.1
+    rays[0, :, 6] = 3.0
+    rays[0, :, 7] = 8.0
+    rays = jnp.asarray(rays)
+
+    for hard_cap, white, lindisp in ((False, False, True),
+                                     (True, True, False)):
+        cfg = rlib.RendererConfig(n_coarse=24, n_fine=16, n_fine_depth=6,
+                                  depth_std=5.0, lindisp=lindisp,
+                                  hard_alpha_cap=hard_cap, white_bkgd=white)
+        key = jax.random.PRNGKey(11)
+        ref = rlib.render_rays(_smooth_query(), rays, key, cfg,
+                               want_weights=True)
+        cfg_c = rlib.RendererConfig(**{**cfg.__dict__,
+                                       "fine_reuse_coarse": True})
+        got = rlib.render_rays(_smooth_query(), rays, key, cfg_c,
+                               want_weights=True)
+        for k in ("rgb", "depth"):
+            np.testing.assert_allclose(np.asarray(got["fine"][k]),
+                                       np.asarray(ref["fine"][k]),
+                                       atol=2e-5, err_msg=k)
+        # Per-sample outputs are a permutation: reductions must match.
+        np.testing.assert_allclose(
+            np.asarray(got["fine"]["weights"]).sum(-1),
+            np.asarray(ref["fine"]["weights"]).sum(-1), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got["fine"]["invalid"]).mean(-2),
+            np.asarray(ref["fine"]["invalid"]).mean(-2), atol=1e-6)
+        # Coarse pass untouched.
+        np.testing.assert_allclose(np.asarray(got["coarse"]["depth"]),
+                                   np.asarray(ref["coarse"]["depth"]),
+                                   atol=1e-6)
+
+
+def test_fine_reuse_tie_break_has_ties():
+    """The depth_std=5 clip in the parity test must actually create
+    duplicate z values, otherwise the stable-order tie-break is untested."""
+    rays = _axis_rays(b=16, near=3.0, far=8.0)
+    z = rlib.sample_fine_depth(jax.random.PRNGKey(2), rays,
+                               jnp.full((1, 16), 5.0), 6, 5.0)
+    zn = np.asarray(z)
+    assert (zn == 3.0).sum() + (zn == 8.0).sum() > 4

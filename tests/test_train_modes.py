@@ -150,3 +150,23 @@ def test_eval_forward_is_chunked_without_rgb_samps(monkeypatch):
     assert "rgb_samps" not in data["coarse"][0]
     assert "alphas" in data["coarse"][0]
     assert np.isfinite(np.asarray(data["fine"][0]["depth"])).all()
+
+
+def test_fine_reuse_requires_empty_fine_mlp():
+    """renderer.fine_reuse_coarse caches coarse-MLP values; with a distinct
+    fine MLP the reference re-queries everything through it, so the wrapper
+    must reject the combination."""
+    import pytest
+
+    cfg = _config(32, 48, mlp_fine={"type": "resnet", "n_blocks": 0,
+                                    "d_hidden": 32})
+    cfg["renderer"].update(n_fine=4, fine_reuse_coarse=True)
+    with pytest.raises(ValueError, match="fine_reuse_coarse"):
+        BTSTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+
+    # And the supported combination (mlp_fine: empty) trains.
+    cfg2 = _config(32, 48)
+    cfg2["renderer"].update(n_fine=4, fine_reuse_coarse=True)
+    batch = _batch(32, 48)
+    _, _, losses = _run_steps(cfg2, batch, n=2)
+    assert np.isfinite(losses).all()
