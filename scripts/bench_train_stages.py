@@ -110,14 +110,19 @@ def main():
         loss, _ = criterion(data)
         return loss
 
+    def tree_total(t):
+        # Consume EVERY leaf: reducing to one leaf lets XLA dead-code the
+        # rest of the backward pass (the F/P2 gap showed exactly that).
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(t))
+
     def probe_grad(loss_fn):
         def run(params, key, n):
             def body(i, carry):
                 acc, k = carry
                 k, sub = jax.random.split(k)
                 g = jax.grad(loss_fn)(perturb(params, acc), sub)
-                return (acc + jnp.sum(
-                    g["mlp_coarse"]["lin_in"]["kernel"]) * 1e-12, k)
+                return (acc + tree_total(g) * 1e-12, k)
             acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), key))
             return acc
         return run
@@ -140,8 +145,7 @@ def main():
             k, sub = jax.random.split(k)
             g = jax.grad(full_loss)(perturb(params, acc), sub)
             updates, opt = tx.update(g, opt, params)
-            return (acc + jnp.sum(
-                updates["mlp_coarse"]["lin_in"]["kernel"]) * 1e-12, k, opt)
+            return (acc + tree_total(updates) * 1e-12, k, opt)
         acc, _, _ = jax.lax.fori_loop(0, n, body,
                                       (jnp.float32(0.0), key, opt_state))
         return acc
@@ -155,8 +159,43 @@ def main():
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), key))
         return acc
 
+    grid_static = jax.jit(lambda p: net.apply(
+        {"params": p, **({"batch_stats": state.batch_stats}
+                         if state.batch_stats else {})},
+        batch["imgs"], batch["projs"], batch["poses"],
+        method=BTSNet.encode, ids_encoder=ids.ids_encoder,
+        ids_render=ids.ids_render, combine_ids=ids.combine_ids,
+        combine_encoder=ids.combine_encoder,
+        combine_render=ids.combine_render, train=False))(state.params)
+    npts = 2048 * 64
+    xyz0 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(BATCH, npts, 3)) * 8
+        + np.array([0, 0, 10.0]), jnp.float32)
+
+    # Grid passed as an argument, NOT a closure: closed-over device
+    # arrays embed as program constants (126MB HLO -> relay HTTP 413).
+    @jax.jit
+    def _query_run(params_, grid_, key_, n_):
+        def body(i, carry):
+            acc, k = carry
+            rgb, inv, sig = net.apply(
+                {"params": params_,
+                 **({"batch_stats": state.batch_stats}
+                    if state.batch_stats else {})},
+                grid_, xyz0 + acc * 1e-18, method=BTSNet.query)
+            return (acc + jnp.sum(rgb.astype(jnp.float32)) * 1e-12
+                    + jnp.sum(sig) * 1e-12 + jnp.sum(inv) * 1e-12, k)
+        acc, _ = jax.lax.fori_loop(0, n_, body, (jnp.float32(0.0), key_))
+        return acc
+
+    def probe_query(params, key, n):
+        return _query_run(params, grid_static, key, n)
+
+    probe_query.prejitted = True
+
     probes = [
         ("P0 perturb only (loop overhead)", probe_noop),
+        ("Q  raw query fwd (8x131k pts)", probe_query),
         ("F1 encode fwd", probe_fwd(encode_loss)),
         ("F2 encode+render fwd", probe_fwd(render_loss)),
         ("F3 + loss fwd", probe_fwd(full_loss)),
@@ -168,7 +207,9 @@ def main():
 
     lo, hi = jnp.int32(3), jnp.int32(13)
     for name, fn in probes:
-        jf = jax.jit(fn)
+        # probe_query manages its own jit (grid must be an ARGUMENT: jitting
+        # the wrapper would re-capture it as a 126MB program constant).
+        jf = fn if getattr(fn, "prejitted", False) else jax.jit(fn)
         float(jf(state.params, key, lo))
         float(jf(state.params, key, hi))
         def t(n):
