@@ -12,6 +12,8 @@ import dataclasses
 
 import numpy as np
 
+from behindthescenes_tpu.datasets.raycast import raycast_boxes
+
 
 @dataclasses.dataclass
 class SyntheticBoxDataset:
@@ -50,41 +52,7 @@ class SyntheticBoxDataset:
 
     def _raycast(self, origin, dirs, boxes):
         """dirs: (h, w, 3) unit. Returns rgb (h,w,3) in [0,1], depth (h,w)."""
-        h, w, _ = dirs.shape
-        t_hit = np.full((h, w), np.inf, dtype=np.float64)
-        rgb = np.zeros((h, w, 3), dtype=np.float64)
-
-        # Ground plane y = -1 (camera looks +z, y down-ish world): plane hit.
-        denom = dirs[..., 1]
-        t_plane = np.where(np.abs(denom) > 1e-8,
-                           (-1.0 - origin[1]) / denom, np.inf)
-        t_plane = np.where(t_plane > 0, t_plane, np.inf)
-        hit = t_plane < t_hit
-        t_safe = np.where(np.isfinite(t_plane), t_plane, 0.0)
-        px = origin[0] + t_safe * dirs[..., 0]
-        pz = origin[2] + t_safe * dirs[..., 2]
-        checker = (np.floor(px) + np.floor(pz)) % 2
-        ground_col = np.where(checker[..., None] > 0.5, 0.75, 0.35)
-        rgb = np.where(hit[..., None], ground_col, rgb)
-        t_hit = np.where(hit, t_plane, t_hit)
-
-        # Boxes: slab method.
-        for lo, hi, color in boxes:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                inv = 1.0 / dirs
-            t0 = (lo[None, None] - origin[None, None]) * inv
-            t1 = (hi[None, None] - origin[None, None]) * inv
-            tmin = np.minimum(t0, t1).max(-1)
-            tmax = np.maximum(t0, t1).min(-1)
-            t_box = np.where((tmax >= tmin) & (tmax > 0),
-                             np.where(tmin > 0, tmin, tmax), np.inf)
-            hit = t_box < t_hit
-            rgb = np.where(hit[..., None], color[None, None], rgb)
-            t_hit = np.where(hit, t_box, t_hit)
-
-        # Sky.
-        rgb = np.where(np.isinf(t_hit)[..., None],
-                       np.array([0.5, 0.7, 0.9])[None, None], rgb)
+        rgb, t_hit, _ = raycast_boxes(origin, dirs, boxes, ground_y=-1.0)
         depth_z = np.where(np.isinf(t_hit), 0.0, t_hit * dirs[..., 2])
         return rgb.astype(np.float32), depth_z.astype(np.float32)
 

@@ -1,0 +1,214 @@
+"""Geometry-consistency tests for the synthetic KITTI-360 drive generator
+(scripts/datasets/gen_synthetic_kitti_360.py).
+
+These validate the full loop: generated fisheye/pinhole/velodyne assets,
+loaded back through Kitti360Dataset (MEI resampler, calib chain, velodyne
+projection), agree with direct analytic renders of the same scene — i.e.
+training/eval on the generated tree measures real geometry, not file
+plumbing."""
+import os
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts", "datasets"))
+
+import gen_synthetic_kitti_360 as gen
+
+from behindthescenes_tpu.datasets.kitti_360 import Kitti360Dataset
+from behindthescenes_tpu.evaluation.lidar_occ import (
+    CAM_INCL_ADJUST, check_occupancy, get_lidar_slices)
+
+TARGET = (48, 160)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("k360_consistent")
+    calibs, poses, boxes = gen.generate_tree(
+        root, n_frames=26, hp=94, wp=352, hf=176, wf=176, seed=3,
+        n_az=720, test_keyframes=[2])
+    return root, calibs, poses, boxes
+
+
+def make_dataset(root, **kw):
+    args = dict(data_path=str(root), pose_path=str(root / "data_poses"),
+                split_path=None, target_image_size=TARGET,
+                return_stereo=True, return_fisheye=True, frame_count=2,
+                fisheye_rotation=(0, -15))
+    args.update(kw)
+    return Kitti360Dataset(**args)
+
+
+def test_mei_project_backproject_roundtrip(tree):
+    _, calibs, _, _ = tree
+    calib = calibs["fisheye"]["image_02"]
+    dirs, valid = gen.mei_backproject(calib)
+    h, w = dirs.shape[:2]
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    px = gen.mei_project(dirs[valid].reshape(-1, 3), calib)
+    assert np.allclose(np.linalg.norm(dirs[valid], axis=-1), 1.0, atol=1e-9)
+    assert np.abs(px[:, 0] - cols[valid]).max() < 1e-3
+    assert np.abs(px[:, 1] - rows[valid]).max() < 1e-3
+
+
+def test_stereo_image_matches_direct_render(tree):
+    """Loaded (resized) perspective image == direct analytic render at the
+    loader's NDC convention."""
+    root, calibs, poses, boxes = tree
+    ds = make_dataset(root)
+    seq, kid, is_right = ds._datapoints[0]
+    sample = ds[0]
+
+    # NDC intrinsics are size-free: render directly at the target size
+    # with the loader's own K.
+    c2w = poses[kid] @ calibs["cam_to_pose"]["image_00"]
+    dirs = gen.pinhole_dirs_ndc(ds._calibs["K_perspective"], *TARGET)
+    rgb, _, _ = gen.render_image(c2w, dirs, boxes)
+    direct = rgb * 2.0 - 1.0
+
+    loaded = sample["imgs"][0]
+    diff = np.abs(loaded - direct)
+    # cv2 INTER_LINEAR downsample vs exact render: agree away from edges;
+    # a blurred comparison suppresses edge aliasing but keeps any
+    # region-scale displacement (e.g. a pose/intrinsics error) visible.
+    # Measured at these fixture settings: median 0.004, mean 0.040,
+    # blur-mean 0.015.
+    assert np.median(diff) < 0.02
+    assert diff.mean() < 0.08
+    blur = np.abs(cv2.GaussianBlur(loaded, (0, 0), 2.0)
+                  - cv2.GaussianBlur(direct.astype(np.float32), (0, 0), 2.0))
+    assert blur.mean() < 0.04
+
+
+def test_fisheye_resample_matches_virtual_pinhole_render(tree):
+    """The loader's fisheye->pinhole resampled image must equal a direct
+    pinhole render from the virtual camera pose (pose @ T_cam_to_pose[02]
+    with the fisheye_rotation folded in) — the end-to-end check of the
+    MEI forward (loader) vs inverse (generator) models."""
+    root, calibs, poses, boxes = tree
+    ds = make_dataset(root)
+    seq, kid, _ = ds._datapoints[0]
+    sample = ds[0]
+    n_fc = 2
+
+    for slot, cam in ((2 * n_fc, "image_02"), (3 * n_fc, "image_03")):
+        virt_c2w = (poses[kid]
+                    @ np.asarray(ds._calibs["T_cam_to_pose"][cam[-2:]],
+                                 dtype=np.float64))
+        dirs = gen.pinhole_dirs_ndc(ds._calibs["K_fisheye"], *TARGET)
+        rgb, _, _ = gen.render_image(virt_c2w, dirs, boxes)
+        direct = rgb * 2.0 - 1.0
+
+        loaded = sample["imgs"][slot]
+        diff = np.abs(loaded - direct)
+        # Residuals are bilinear edge blending against the crisp analytic
+        # render (the left view fills with a near building; measured
+        # median 0.004, mean 0.098, blur-mean 0.041). The 10-degree pitch
+        # bug this test caught during development measured blur-mean
+        # ~0.2 — well above these bounds.
+        assert np.median(diff) < 0.02, cam
+        assert diff.mean() < 0.16, cam
+        blur = np.abs(
+            cv2.GaussianBlur(loaded, (0, 0), 2.0)
+            - cv2.GaussianBlur(direct.astype(np.float32), (0, 0), 2.0))
+        assert blur.mean() < 0.08, cam
+
+
+def test_velodyne_depth_matches_analytic_depth(tree):
+    """load_depth (velodyne projected through the calib chain) must agree
+    with the analytic z-depth of the same scene."""
+    root, calibs, poses, boxes = tree
+    ds = make_dataset(root, return_depth=True)
+    seq, kid, is_right = ds._datapoints[0]
+    depth = ds.load_depth(seq, kid, is_right)[0]
+
+    c2w = poses[kid] @ calibs["cam_to_pose"]["image_00"]
+    dirs = gen.pinhole_dirs_ndc(ds._calibs["K_perspective"], *TARGET)
+    _, t, _ = gen.render_image(c2w, dirs, boxes)
+    z_axis = c2w[:3, 2]
+    dirs_world = dirs @ c2w[:3, :3].T
+    z_depth = np.where(np.isfinite(t), t * (dirs_world @ z_axis), 0.0)
+
+    mask = (depth > 0) & (z_depth > 0)
+    assert mask.sum() > 200
+    rel = np.abs(depth[mask] - z_depth[mask]) / z_depth[mask]
+    assert np.median(rel) < 0.04
+    # Pixel-rounding in the projection lands points on neighbor pixels,
+    # which matters at grazing ground angles and depth edges: check each
+    # projected depth against the analytic z-range of a 3x3 pixel window.
+    zp = np.pad(z_depth, 1, mode="edge")
+    h, w = z_depth.shape
+    wins = np.stack([zp[i:i + h, j:j + w]
+                     for i in range(3) for j in range(3)])
+    zmin, zmax = wins.min(0), wins.max(0)
+    ok = (depth >= zmin * 0.97) & (depth <= zmax * 1.03)
+    assert ok[mask].mean() > 0.97
+
+
+def test_lidar_slices_ground_truth_occupancy(tree):
+    """The occupancy GT built from generated scans must mark car-box
+    interiors occupied and open road free (in the evaluator's
+    inclination-adjusted keyframe frame)."""
+    root, calibs, poses, boxes = tree
+    ds = make_dataset(root, return_depth=False)
+    seq = gen.SEQ
+    kid = 2
+    t_velo_to_pose = np.asarray(ds._calibs["T_velo_to_pose"],
+                                dtype=np.float64)
+    cam_pose = poses[kid] @ np.asarray(
+        ds._calibs["T_cam_to_pose"]["00"], dtype=np.float64)
+    world_transform = np.asarray(CAM_INCL_ADJUST,
+                                 dtype=np.float64) @ np.linalg.inv(cam_pose)
+
+    pts_all, velo_poses = [], []
+    for fid in range(kid, min(kid + 20, len(poses))):
+        pc = np.fromfile(
+            root / "data_3d_raw" / seq / "velodyne_points" / "data"
+            / f"{fid:010d}.bin", dtype=np.float32).reshape(-1, 4)
+        pc[:, 3] = 1.0
+        pts_all.append(pc)
+        velo_poses.append((world_transform @ poses[fid]
+                           @ t_velo_to_pose).astype(np.float32))
+    velo_poses = np.stack(velo_poses)
+
+    # Probe points, defined in the GENERATOR world, moved to eval world.
+    cars = [b for b in boxes if b[3] == gen.SEM_CAR
+            and 6 + kid < b[0][2] < 16 + kid]
+    assert cars, "scene must place a car in the keyframe's slab"
+    lo, hi, _, _ = cars[0]
+    center = (np.asarray(lo) + np.asarray(hi)) / 2
+    free_pts = np.array([[0.0, 0.6, kid + 10.0],   # open road ahead
+                         [0.0, 0.3, kid + 14.0]])
+    probes_gen = np.vstack([center[None], free_pts])
+    probes_h = np.concatenate([probes_gen, np.ones((3, 1))], -1)
+    probes_eval = (world_transform @ probes_h.T).T[:, :3].astype(np.float32)
+
+    y_range = (0, 0.75)
+    max_dist = (20 ** 2 + 4 ** 2) ** 0.5
+    slices = get_lidar_slices(pts_all, velo_poses, y_range, 1, max_dist)
+    # check_occupancy slices pts into len(slices) contiguous groups; with
+    # y_res=1 all probes share the single slice.
+    is_occ, is_vis = check_occupancy(probes_eval, slices, velo_poses)
+    assert bool(is_occ[0]), "car interior must be occupied"
+    assert not bool(is_occ[1]), "open road must be free"
+    assert not bool(is_occ[2]), "open road must be free"
+    # The eval slab must see plausible geometry: the car center sits in
+    # the slab's y window after the inclination adjustment.
+    assert y_range[0] - 1.0 < probes_eval[0, 1] < y_range[1] + 1.0
+
+
+def test_bboxes_and_semantics_load(tree):
+    root, _, _, _ = tree
+    ds = make_dataset(root, return_3d_bboxes=True, return_segmentation=True,
+                      return_fisheye=False, return_stereo=False,
+                      split_path=str(root / "splits" / "test_files.txt"))
+    sample = ds[0]
+    assert len(sample["3d_bboxes"]) > 0
+    assert all(b["vertices"].shape == (8, 3) for b in sample["3d_bboxes"])
+    segs = sample["segs"]
+    assert segs.shape == (1, *TARGET)
+    assert (segs == gen.SEM_ROAD).any()
