@@ -339,7 +339,7 @@ def velodyne_scan(velo_c2w, boxes, n_rings=64, n_az=1024):
                           axis=-1).astype(np.float32)
 
 
-def write_bboxes(root, boxes):
+def write_bboxes(root, boxes, seq=SEQ):
     xroot = ET.Element("opencv_storage")
     inst = 0
     for lo, hi, _, sem in boxes:
@@ -364,21 +364,28 @@ def write_bboxes(root, boxes):
             map(str, _CUBE_FACES.astype(np.float64).ravel()))
     bdir = root / "data_3d_bboxes" / "train_full"
     bdir.mkdir(parents=True, exist_ok=True)
-    ET.ElementTree(xroot).write(bdir / f"{SEQ}.xml")
+    ET.ElementTree(xroot).write(bdir / f"{seq}.xml")
 
 
 # ------------------------------------------------------------------- tree
 def generate_tree(out, n_frames=60, hp=HP_REF, wp=WP_REF, hf=HF_REF,
                   wf=WF_REF, seed=0, dz=1.0, n_az=1024,
-                  test_keyframes=None):
-    """Write the full tree. Returns (calibs, poses, boxes) for tests."""
+                  test_keyframes=None, seq=SEQ, splits="write"):
+    """Write the full tree. Returns (calibs, poses, boxes) for tests.
+
+    Multi-sequence trees: call repeatedly with distinct (seq, seed) into
+    the same `out` (the shared rig calibration is identical and simply
+    rewritten). splits: "write" creates splits/ for this sequence alone,
+    "append" adds this sequence's lines to existing split files,
+    "train-only"/"test-only" route every keyframe of the sequence to one
+    split (held-out-sequence benchmarks), "none" skips split writing."""
     out = Path(out)
     root = out
     rng = np.random.default_rng(seed)
     boxes = build_scene(rng, n_frames * dz)
     calibs = make_calibs(hp, wp, hf, wf)
     write_calibration(root, calibs, hp, wp)
-    write_bboxes(root, boxes)
+    write_bboxes(root, boxes, seq)
 
     # Body poses: gentle lateral sway along a straight street-aligned
     # drive; all rotation lives in calib_cam_to_pose.
@@ -389,23 +396,24 @@ def generate_tree(out, n_frames=60, hp=HP_REF, wp=WP_REF, hf=HF_REF,
         p[2, 3] = i * dz
         poses.append(p)
     poses = np.stack(poses)
-    pose_dir = out / "data_poses" / SEQ
+    pose_dir = out / "data_poses" / seq
     pose_dir.mkdir(parents=True, exist_ok=True)
     with open(pose_dir / "poses.txt", "w") as f:
         for i, p in enumerate(poses):
             f.write(f"{i} " + " ".join(map(str, p[:3].ravel())) + "\n")
 
-    seq_dir = root / "data_2d_raw" / SEQ
+    seq_dir = root / "data_2d_raw" / seq
     dirs_p = pinhole_dirs(calibs["k_px"], hp, wp)
     fish_dirs = {}
     for cam in ("image_02", "image_03"):
         d, valid = mei_backproject(calibs["fisheye"][cam])
         fish_dirs[cam] = (d, valid)
 
-    sem_dir = (root / "data_2d_semantics" / "train" / SEQ / "image_00")
+    sem_dir = (root / "data_2d_semantics" / "train" / seq
+               / "image_00")
     (sem_dir / "semantic").mkdir(parents=True, exist_ok=True)
     (sem_dir / "semantic_rgb").mkdir(parents=True, exist_ok=True)
-    velo_dir = root / "data_3d_raw" / SEQ / "velodyne_points" / "data"
+    velo_dir = root / "data_3d_raw" / seq / "velodyne_points" / "data"
     velo_dir.mkdir(parents=True, exist_ok=True)
     for cam, sub in (("image_00", "data_rect"), ("image_01", "data_rect"),
                      ("image_02", "data_rgb"), ("image_03", "data_rgb")):
@@ -433,19 +441,29 @@ def generate_tree(out, n_frames=60, hp=HP_REF, wp=WP_REF, hf=HF_REF,
         scan = velodyne_scan(poses[i] @ t_velo_to_pose, boxes, n_az=n_az)
         scan.tofile(str(velo_dir / f"{i:010d}.bin"))
 
-    split = root / "splits"
-    split.mkdir(exist_ok=True)
-    if test_keyframes is None:
-        test_keyframes = list(range(2, max(3, n_frames - 22), 6))
-    with open(split / "test_files.txt", "w") as f:
-        for i in test_keyframes:
-            f.write(f"{SEQ} {i} l\n")
-    with open(split / "train_files.txt", "w") as f:
-        for i in range(1, n_frames - 1):
-            if i in test_keyframes:
-                continue
-            f.write(f"{SEQ} {i} l\n")
-            f.write(f"{SEQ} {i} r\n")
+    if splits != "none":
+        split = root / "splits"
+        split.mkdir(exist_ok=True)
+        if test_keyframes is None:
+            test_keyframes = list(range(2, max(3, n_frames - 22), 6))
+        if splits == "train-only":
+            test_keyframes = []
+        train_keyframes = [i for i in range(1, n_frames - 1)
+                           if i not in test_keyframes]
+        if splits == "test-only":
+            # Every keyframe with a full 20-step LiDAR window ahead.
+            test_keyframes = list(range(2, max(3, n_frames - 22), 3))
+            train_keyframes = []
+        # Single-sequence "write" truncates; the multi-sequence modes
+        # (append / train-only / test-only) compose into existing files.
+        mode = "w" if splits == "write" else "a"
+        with open(split / "test_files.txt", mode) as f:
+            for i in test_keyframes:
+                f.write(f"{seq} {i} l\n")
+        with open(split / "train_files.txt", mode) as f:
+            for i in train_keyframes:
+                f.write(f"{seq} {i} l\n")
+                f.write(f"{seq} {i} r\n")
     return calibs, poses, boxes
 
 
@@ -454,9 +472,18 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seq", default=SEQ,
+                    help="sequence directory name (vary for multi-sequence"
+                         " trees)")
+    ap.add_argument("--splits", default="write",
+                    choices=["write", "append", "train-only", "test-only",
+                             "none"],
+                    help="split handling; 'append'/'train-only'/'test-only'"
+                         " compose multi-sequence held-out benchmarks")
     args = ap.parse_args()
-    generate_tree(args.out, n_frames=args.frames, seed=args.seed)
-    print(f"wrote {args.frames}-frame drive to {args.out}")
+    generate_tree(args.out, n_frames=args.frames, seed=args.seed,
+                  seq=args.seq, splits=args.splits)
+    print(f"wrote {args.frames}-frame drive {args.seq} to {args.out}")
 
 
 if __name__ == "__main__":

@@ -201,6 +201,26 @@ def test_lidar_slices_ground_truth_occupancy(tree):
     assert y_range[0] - 1.0 < probes_eval[0, 1] < y_range[1] + 1.0
 
 
+def test_multi_sequence_heldout_splits(tree, tmp_path):
+    """Two sequences composed with train-only/test-only splits: the loader
+    must read a tree whose test split is a fully held-out drive."""
+    root = tmp_path / "multi"
+    root.mkdir()
+    gen.generate_tree(root, n_frames=6, hp=48, wp=176, hf=96, wf=96,
+                      seed=1, n_az=180, seq="drive_a", splits="train-only")
+    gen.generate_tree(root, n_frames=6, hp=48, wp=176, hf=96, wf=96,
+                      seed=2, n_az=180, seq="drive_b", splits="test-only")
+    train = (root / "splits" / "train_files.txt").read_text().splitlines()
+    test = (root / "splits" / "test_files.txt").read_text().splitlines()
+    assert train and all(l.startswith("drive_a") for l in train)
+    assert test and all(l.startswith("drive_b") for l in test)
+    ds = make_dataset(root,
+                      split_path=str(root / "splits" / "test_files.txt"))
+    sample = ds[0]
+    assert sample["imgs"].shape[0] == 8
+    assert np.isfinite(sample["imgs"]).all()
+
+
 def test_bboxes_and_semantics_load(tree):
     root, _, _, _ = tree
     ds = make_dataset(root, return_3d_bboxes=True, return_segmentation=True,
