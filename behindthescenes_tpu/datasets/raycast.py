@@ -13,7 +13,7 @@ import numpy as np
 
 def raycast_boxes(origin, dirs, boxes, ground_y=-1.0,
                   ground_colors=(0.75, 0.35), sky_color=(0.5, 0.7, 0.9),
-                  checker_period=1.0):
+                  checker_period=1.0, texture_amp=0.0):
     """Cast rays into a ground-plane + axis-aligned-boxes scene.
 
     origin: (3,) ray origin (world). dirs: (..., 3) ray directions (any
@@ -67,6 +67,21 @@ def raycast_boxes(origin, dirs, boxes, ground_y=-1.0,
                        rgb)
         hit_id = np.where(hit, i + 1, hit_id)
         t_hit = np.where(hit, t_box, t_hit)
+
+    if texture_amp > 0.0:
+        # Smooth world-space brightness modulation on every surface:
+        # flat-colored faces carry no photometric depth signal between
+        # edges (any wrong depth reprojects to the same color), which
+        # starves self-supervised training. A bandlimited sine product
+        # (wavelengths ~2.5-4m) adds view-CONSISTENT texture that stays
+        # benign under bilinear resampling, unlike a fine checker.
+        t_safe = np.where(np.isfinite(t_hit), t_hit, 0.0)
+        p = origin[None] + t_safe[:, None] * flat
+        mod = (1.0 - texture_amp
+               + texture_amp * (0.5 + 0.5
+                                * np.sin(2.6 * p[:, 0] + 1.8 * p[:, 1] + 0.9)
+                                * np.sin(1.6 * p[:, 2] - 1.1 * p[:, 0] + 2.2)))
+        rgb = np.where((hit_id >= 0)[:, None], rgb * mod[:, None], rgb)
 
     sky = hit_id < 0
     rgb = np.where(sky[:, None], np.asarray(sky_color, dtype=np.float64)[None],

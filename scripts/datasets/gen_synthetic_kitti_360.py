@@ -67,6 +67,11 @@ GROUND_COLORS = (0.8, 0.3)
 # texture, bad for both the resample parity tests and photometric
 # training supervision).
 CHECKER_PERIOD = 3.0
+# Smooth world-space surface texture (see raycast_boxes): flat-colored
+# faces starve the photometric loss of depth signal; measured on-chip,
+# the textureless variant stalled at val abs_rel ~1.3 while the RGB loss
+# sat at 0.006 (any depth reprojects flat color to flat color).
+TEXTURE_AMP = 0.45
 
 # Semantic ids (KITTI-360 devkit): road, building, sky, car.
 SEM_ROAD, SEM_BUILDING, SEM_SKY, SEM_CAR = 7, 11, 23, 26
@@ -310,7 +315,8 @@ def render_image(c2w, dirs_cam, boxes):
                                 [(b[0], b[1], b[2]) for b in boxes],
                                 ground_y=GROUND_Y,
                                 ground_colors=GROUND_COLORS,
-                                checker_period=CHECKER_PERIOD)
+                                checker_period=CHECKER_PERIOD,
+                                texture_amp=TEXTURE_AMP)
     return rgb, t, hid
 
 
