@@ -13,6 +13,7 @@ import dataclasses
 import json
 import logging
 import os
+import signal
 import time
 from typing import Callable, Optional
 
@@ -24,6 +25,20 @@ from behindthescenes_tpu.parallel.mesh import shard_batch
 from behindthescenes_tpu.training.trainer import BTSTrainer, TrainState
 
 log = logging.getLogger("bts_tpu")
+
+# Graceful-shutdown flag (SURVEY §5.3). SIGTERM (cluster preemption,
+# `timeout`, orchestrator stop) requests a checkpoint-and-clean-exit at the
+# next iteration boundary instead of killing mid-step — a killed device
+# process loses up to checkpoint_every iterations and (on remote-attached
+# accelerators) can wedge the device session.
+_stop_requested = False
+
+
+def _request_stop(signum, frame):  # noqa: ARG001 (signal handler ABI)
+    global _stop_requested
+    _stop_requested = True
+    log.info("signal %d received — checkpointing and exiting at the next "
+             "iteration boundary", signum)
 
 
 class MeanMetric:
@@ -225,6 +240,13 @@ def base_training(config: dict, get_dataflow: Callable,
                                   max_to_keep=2)
     best_value = None
 
+    global _stop_requested
+    _stop_requested = False
+    try:  # signal.signal is main-thread-only; harness may run in a worker
+        prev_sigterm = signal.signal(signal.SIGTERM, _request_stop)
+    except ValueError:
+        prev_sigterm = None
+
     if hc.resume_from:
         state, extra = CheckpointManager(hc.resume_from).restore(state)
         if extra and "render_sched" in extra:
@@ -236,6 +258,19 @@ def base_training(config: dict, get_dataflow: Callable,
         if extra and "render_sched" in extra:
             trainer.scheduler.load_state_dict(extra["render_sched"])
         log.info("auto-resumed at step %d", int(state.step))
+
+    def finish(state, reason):
+        if ckpt.latest_step() != it:  # don't double-save this step
+            ckpt.save(it, state, extra={
+                "render_sched": trainer.scheduler.state_dict()})
+        if prev_sigterm is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+            except ValueError:
+                pass
+        log.info("stopping at iteration %d (%s), checkpoint saved", it,
+                 reason)
+        return state
 
     it = int(state.step)
     t_iter = time.time()
@@ -307,19 +342,17 @@ def base_training(config: dict, get_dataflow: Callable,
                     and it % hc.visualize_every == 0):
                 visualize(trainer, state, vis_loader, it)
 
+            if _stop_requested:
+                return finish(state, "SIGTERM")
             if hc.stop_iteration and it >= hc.stop_iteration:
-                ckpt.save(it, state, extra={
-                    "render_sched": trainer.scheduler.state_dict()})
-                return state
+                return finish(state, "stop_iteration")
 
         # Epoch-end validation (reference eval_use_iters=False mode,
         # utils/base_trainer.py:98-110).
         if val_loader is not None and not hc.eval_use_iters:
             validate_now()
 
-    ckpt.save(it, state,
-              extra={"render_sched": trainer.scheduler.state_dict()})
-    return state
+    return finish(state, "num_epochs reached")
 
 
 def run_validation(trainer: BTSTrainer, state: TrainState,

@@ -68,6 +68,38 @@ def test_run_loop_checkpoints_best_and_resume(tmp_path):
     assert "15" in steps2, steps2
 
 
+def test_run_loop_graceful_sigterm_stop(tmp_path):
+    """SIGTERM mid-run checkpoints at the iteration boundary and returns
+    cleanly (SURVEY §5.3: preemption/timeout must not lose
+    checkpoint_every iterations or kill a device op mid-flight)."""
+    import os
+    import signal
+
+    out = str(tmp_path / "run_sig")
+    cfg = _tiny_config(out, stop=50)
+    cfg["checkpoint_every"] = 1000       # only the graceful save can write 7
+    cfg["validate_every"] = 1000000
+
+    from behindthescenes_tpu.training import harness
+    from behindthescenes_tpu.training.tasks import bts_get_dataflow
+
+    def on_iteration(it, state, loss_dict):
+        if it == 7:  # the real signal path, delivered to ourselves
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    state = harness.base_training(cfg, bts_get_dataflow,
+                                  on_iteration=on_iteration)
+    assert int(state.step) == 7
+    cdir = os.path.join(out, "checkpoints")
+    assert "7" in os.listdir(cdir)
+    # handler restored + flag cleared: a fresh run resumes and completes
+    assert signal.getsignal(signal.SIGTERM) is not harness._request_stop
+    cfg2 = _tiny_config(out, stop=12)
+    cfg2["validate_every"] = 1000000
+    state2 = bts_training(cfg2)
+    assert int(state2.step) == 12
+
+
 def test_run_loop_bf16_transfer(tmp_path):
     """transfer_dtype=bfloat16 ships imgs at half width over the
     host->device link; the train step casts back to f32 and trains
