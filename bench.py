@@ -172,12 +172,36 @@ def marginal_time(jf, args, n_lo, n_hi, reps=6):
     return (t_hi - t_lo) / (n_hi - n_lo)
 
 
+def bench_train_step():
+    """Third metric: flagship training-step throughput (guarded — a
+    failure here must not break the primary JSON line)."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_train import measure
+    ms, sps, desc = measure(8, "kitti_raw")
+    return sps, desc
+
+
 def main():
     fn, args = build()
     t_frame = marginal_time(fn, args, 4, 34)
     rays_per_sec = H * W / t_frame
+    fn = args = None          # release HBM before the training bench
 
     nvs_pts_per_sec = bench_general_query()
+
+    extra = {
+        "nvs_general_query_pts_per_sec": round(nvs_pts_per_sec, 1),
+        "nvs_general_query_unit":
+            "field queries/s, cross-view path (NVS/training), 1 chip",
+    }
+    try:
+        sps, desc = bench_train_step()
+        extra["train_samples_per_sec"] = round(sps, 1)
+        extra["train_unit"] = f"training samples/s ({desc}), 1 chip"
+    except Exception as e:                      # noqa: BLE001
+        extra["train_samples_per_sec_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "depth_render_rays_per_sec",
@@ -185,11 +209,7 @@ def main():
         "unit": "rays/s (192x640x64smp full pipeline, 1 chip)",
         "vs_baseline": round(rays_per_sec / TORCH_CPU_BASELINE_RAYS_PER_SEC,
                              2),
-        "extra_metrics": {
-            "nvs_general_query_pts_per_sec": round(nvs_pts_per_sec, 1),
-            "nvs_general_query_unit":
-                "field queries/s, cross-view path (NVS/training), 1 chip",
-        },
+        "extra_metrics": extra,
     }))
 
 

@@ -33,12 +33,15 @@ from behindthescenes_tpu.datasets.synthetic import SyntheticBoxDataset, \
 from behindthescenes_tpu.parallel.mesh import make_mesh
 from behindthescenes_tpu.training.trainer import BTSTrainer
 
-H, W = 192, 640
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 MODE = sys.argv[2] if len(sys.argv) > 2 else "kitti_raw"
 
 
-def main():
+def measure(batch_size: int = 8, mode: str = "kitti_raw"):
+    """Marginal-timed train-step cost. Returns (ms_per_step,
+    samples_per_sec, desc). Importable (bench.py reports the flagship
+    shape as an extra metric)."""
+    H, W = 192, 640
     config = {
         "seed": 0, "learning_rate": 1e-4, "bf16": True,
         "model_conf": {
@@ -63,24 +66,23 @@ def main():
         "scheduler": {"type": "fix"},
     }
     n_views = 4
-    if MODE == "re10k":
+    if mode == "re10k":
         # exp_re10k training shape: mono video, 3 frames/sample, 256x384,
         # 1024 rays x 48 coarse samples.
-        global H, W
         H, W = 256, 384
         n_views = 3
         config["model_conf"].update(ray_batch_size=1024)
         config["renderer"]["n_coarse"] = 48
-    if MODE == "k360":
+    if mode == "k360":
         # exp_kitti_360 training shape: 8 views per sample (stereo pair +
         # 2 fisheye, x2 timesteps), kitti360-mono loss/render split,
         # 4096 rays.
         n_views = 8
         config["model_conf"].update(
             frame_sample_mode="kitti360-mono", ray_batch_size=4096)
-    ds = SyntheticBoxDataset(length=BATCH, frame_count=n_views, height=H,
-                             width=W, return_depth=False)
-    batch = collate([ds[i] for i in range(BATCH)])
+    ds = SyntheticBoxDataset(length=batch_size, frame_count=n_views,
+                             height=H, width=W, return_depth=False)
+    batch = collate([ds[i] for i in range(batch_size)])
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     trainer = BTSTrainer(config, mesh=make_mesh(jax.devices()[:1]))
@@ -119,9 +121,14 @@ def main():
         / (int(hi) - int(lo)) * 1e3
     rays = config["model_conf"]["ray_batch_size"]
     smp = config["renderer"]["n_coarse"]
-    print(f"train step ({MODE}, batch {BATCH}, {n_views} views {H}x{W}, "
-          f"{rays} rays x {smp} smp, rn50 bf16): "
-          f"{ms:.1f} ms/step = {BATCH / (ms / 1e3):.1f} samples/s")
+    desc = (f"{mode}, batch {batch_size}, {n_views} views {H}x{W}, "
+            f"{rays} rays x {smp} smp, rn50 bf16")
+    return ms, batch_size / (ms / 1e3), desc
+
+
+def main():
+    ms, sps, desc = measure(BATCH, MODE)
+    print(f"train step ({desc}): {ms:.1f} ms/step = {sps:.1f} samples/s")
 
 
 if __name__ == "__main__":
