@@ -7,6 +7,7 @@ bts_3dbb (3D bbox occupancy).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from behindthescenes_tpu.platform import apply_platform_env
@@ -29,17 +30,22 @@ def main():
     model = config.get("model", "bts")
     if model == "bts":
         from behindthescenes_tpu.evaluation.tasks import evaluate_depth
-        return evaluate_depth(config)
-    if model == "bts_nvs":
+        metrics = evaluate_depth(config)
+    elif model == "bts_nvs":
         from behindthescenes_tpu.evaluation.tasks import evaluate_nvs
-        return evaluate_nvs(config)
-    if model == "bts_lidar":
+        metrics = evaluate_nvs(config)
+    elif model == "bts_lidar":
         from behindthescenes_tpu.evaluation.tasks import evaluate_lidar_occ
-        return evaluate_lidar_occ(config)
-    if model == "bts_3dbb":
+        metrics = evaluate_lidar_occ(config)
+    elif model == "bts_3dbb":
         from behindthescenes_tpu.evaluation.tasks import evaluate_3dbb
-        return evaluate_3dbb(config)
-    raise ValueError(f"Unknown eval task: {model}")
+        metrics = evaluate_3dbb(config)
+    else:
+        raise ValueError(f"Unknown eval task: {model}")
+    # Machine-readable result on stdout; exit 0 on success (returning the
+    # dict through sys.exit would report failure to the shell).
+    print(json.dumps({k: float(v) for k, v in metrics.items()}))
+    return 0
 
 
 if __name__ == "__main__":
