@@ -486,10 +486,21 @@ def main():
                              "none"],
                     help="split handling; 'append'/'train-only'/'test-only'"
                          " compose multi-sequence held-out benchmarks")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="resolution scale for the rendered assets (0.5 = "
+                         "half the reference resolution, ~4x faster "
+                         "raycasting; intrinsics scale with it and "
+                         "preprocess_kitti_360.py still resizes to the "
+                         "training resolution, so the pipeline semantics "
+                         "are unchanged)")
     args = ap.parse_args()
+    s = args.scale
     generate_tree(args.out, n_frames=args.frames, seed=args.seed,
-                  seq=args.seq, splits=args.splits)
-    print(f"wrote {args.frames}-frame drive {args.seq} to {args.out}")
+                  seq=args.seq, splits=args.splits,
+                  hp=int(round(HP_REF * s)), wp=int(round(WP_REF * s)),
+                  hf=int(round(HF_REF * s)), wf=int(round(WF_REF * s)))
+    print(f"wrote {args.frames}-frame drive {args.seq} to {args.out}"
+          f" at scale {s}")
 
 
 if __name__ == "__main__":
