@@ -7,8 +7,11 @@ the same methodology as bench.py (PERF.md): fixed relay costs cancel.
 Usage: python scripts/bench_train.py [micro_batch] [mode]
   mode: "kitti_raw" (default; 4 views, 2048 rays), "k360"
   (8-view stereo+fisheye samples, kitti360-mono split, 4096 rays —
-  the exp_kitti_360 training shape), or "re10k" (256x384, 3 views,
-  1024 rays x 48 samples — the exp_re10k training shape).
+  the exp_kitti_360 training shape), "re10k" (256x384, 3 views,
+  1024 rays x 48 samples — the exp_re10k training shape), or
+  "kitti_raw_fast" (24 coarse + 16 importance-fine with
+  fine_reuse_coarse: 40 queried pts/ray instead of 64 — the
+  PERF.md finding 14 sampling profile applied to TRAINING).
 """
 from __future__ import annotations
 
@@ -73,6 +76,14 @@ def measure(batch_size: int = 8, mode: str = "kitti_raw"):
         n_views = 3
         config["model_conf"].update(ray_batch_size=1024)
         config["renderer"]["n_coarse"] = 48
+    if mode == "kitti_raw_fast":
+        # Finding 14's serving profile applied to training: the coarse
+        # pass queries 24 pts/ray, the importance fine pass only the 16
+        # NEW samples (cached coarse sigma/rgb re-used) -> 40 queried
+        # pts/ray vs the reference's 64-flat, with loss on both passes
+        # (reference fine-loss semantics, lambda_coarse=lambda_fine=1).
+        config["renderer"].update(n_coarse=24, n_fine=16,
+                                  fine_reuse_coarse=True)
     if mode == "k360":
         # exp_kitti_360 training shape: 8 views per sample (stereo pair +
         # 2 fisheye, x2 timesteps), kitti360-mono loss/render split,
@@ -120,7 +131,9 @@ def measure(batch_size: int = 8, mode: str = "kitti_raw"):
     ms = (np.median([b for _, b in ts]) - np.median([a for a, _ in ts])) \
         / (int(hi) - int(lo)) * 1e3
     rays = config["model_conf"]["ray_batch_size"]
-    smp = config["renderer"]["n_coarse"]
+    smp = str(config["renderer"]["n_coarse"])
+    if config["renderer"].get("n_fine"):
+        smp += f"+{config['renderer']['n_fine']}f"
     desc = (f"{mode}, batch {batch_size}, {n_views} views {H}x{W}, "
             f"{rays} rays x {smp} smp, rn50 bf16")
     return ms, batch_size / (ms / 1e3), desc
