@@ -32,7 +32,18 @@ class DepthEvaluator:
         self.eval_nvs = eval_nvs
         self.lpips = M.LPIPSVGG.maybe_create(lpips_weights) if eval_nvs \
             else None
+        # Keyframe depth via the self-view fast path (inference.py:
+        # render_depth_selfview, deterministic shared-z): ~3-5 ms/frame vs
+        # ~159 ms through the general chunked query, parity 5e-3 depth
+        # (PERF.md) — far below the depth metrics' sensitivity, gated by
+        # tests/test_accuracy_gate.py. "auto" = on when code_mode == "z"
+        # and only the keyframe depth is needed (NVS eval needs cross-view
+        # color, which only the general path produces).
+        sv = config.get("eval_selfview", "auto")
+        self.use_selfview = (config.get("code_mode") == "z") if sv == "auto" \
+            else bool(sv)
         self._render = None
+        self._render_sv = None
 
     def _build_render(self, h, w, v):
         sampler = ImageRaySampler(self.z_near, self.z_far, height=h, width=w)
@@ -62,6 +73,27 @@ class DepthEvaluator:
 
         return jax.jit(render)
 
+    def _build_render_selfview(self, h, w):
+        """Keyframe-only depth through the dense self-view query: rays from
+        the encoder camera need no cross-view projection or gathers, and
+        deterministic shared-z sampling turns the z-code into a (K, d)
+        table (PERF.md findings 1/12)."""
+        from behindthescenes_tpu.inference import render_depth_selfview
+        net = self.net
+        cfg = self.cfg
+
+        def render(variables, images, projs, poses, key):
+            poses_r = geometry.rebase_poses_to_keyframe(poses)
+            grid = net.apply(variables, images, projs, poses_r,
+                             ids_encoder=[0], ids_render=[0],
+                             method=BTSNet.encode)
+            depth, _, _ = render_depth_selfview(
+                net, variables, grid, key, h, w, cfg, self.z_near,
+                self.z_far, as_z_depth=True, deterministic=True)
+            return depth                                # (1, h, w) z-depth
+
+        return jax.jit(render)
+
     def evaluate(self, variables, batch, key=None) -> dict:
         """batch: numpy/jnp dict with imgs (1, v, h, w, 3), poses, projs,
         depths (1, 1, H0, W0). Returns metric dict (python floats)."""
@@ -69,12 +101,21 @@ class DepthEvaluator:
         images = jnp.asarray(batch["imgs"])
         n, v, h, w, _ = images.shape
         assert n == 1, "evaluator is per-sample (reference parity)"
-        if self._render is None or self._shape != (h, w, v):
-            self._render = self._build_render(h, w, v)
-            self._shape = (h, w, v)
-        render_dict = self._render(variables, images,
-                                   jnp.asarray(batch["projs"]),
-                                   jnp.asarray(batch["poses"]), key)
+        if self.use_selfview and not self.eval_nvs:
+            if self._render_sv is None or self._shape != (h, w, v):
+                self._render_sv = self._build_render_selfview(h, w)
+                self._shape = (h, w, v)
+            depth = self._render_sv(variables, images,
+                                    jnp.asarray(batch["projs"]),
+                                    jnp.asarray(batch["poses"]), key)
+            render_dict = {"fine": {"depth": depth[None]}}  # (1, 1, h, w)
+        else:
+            if self._render is None or self._shape != (h, w, v):
+                self._render = self._build_render(h, w, v)
+                self._shape = (h, w, v)
+            render_dict = self._render(variables, images,
+                                       jnp.asarray(batch["projs"]),
+                                       jnp.asarray(batch["poses"]), key)
 
         out = {}
         out.update(self.compute_depth_metrics(

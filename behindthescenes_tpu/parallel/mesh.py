@@ -25,10 +25,31 @@ def make_mesh(devices: Optional[Sequence] = None,
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Shard every leaf along its leading (batch) dimension. Leaves whose
     batch dim does not divide the mesh (e.g. batch-1 eval samples) are
-    replicated instead."""
+    replicated instead.
+
+    Multi-host: each host holds its OWN loader batch (the per-host dataset
+    shard, loader.shard_for_host); the global batch is their concatenation
+    along dim 0, assembled with jax.make_array_from_process_local_data —
+    no cross-host data movement, each host's samples land on its own
+    devices. Replicating a leaf that does not divide would silently pick
+    one host's values, so that case raises instead."""
     n_dev = mesh.devices.size
     sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
+    n_proc = jax.process_count()
+
+    if n_proc > 1:
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 \
+                    and (x.shape[0] * n_proc) % n_dev == 0:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
+            raise ValueError(
+                f"multi-host batch leaf of shape {getattr(x, 'shape', x)} "
+                f"cannot shard a global batch of {x.shape[0]}*{n_proc} "
+                f"over {n_dev} devices, and replication would drop the "
+                "other hosts' samples")
+        return jax.tree_util.tree_map(put, batch)
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n_dev == 0:

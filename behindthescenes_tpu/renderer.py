@@ -28,13 +28,16 @@ class RendererConfig:
     lindisp: bool = False
     hard_alpha_cap: bool = False
     sched: Optional[Tuple] = None
-    # Serving-only: the fine pass reuses the coarse pass's queried
-    # sigma/rgb/invalid instead of re-querying the coarse z's (the reference
+    # The fine pass reuses the coarse pass's queried sigma/rgb/invalid
+    # instead of re-querying the coarse z's (the reference
     # re-queries ALL of sort(concat(z_coarse, z_fine)) — nerf.py:230-238 —
     # so n_coarse + n_fine importance costs n_coarse + (n_coarse + n_fine)
     # field queries). The field is deterministic in position, so caching is
     # output-identical and cuts fine-pass queries to n_fine only.
-    # Requires noise_std == 0 (each reference pass draws fresh sigma noise).
+    # Requires noise_std == 0 (each reference pass draws fresh sigma noise)
+    # and an empty mlp_fine. Valid for BOTH serving and training — the
+    # reuse is output-identical, so gradients match the re-query formulation
+    # too (tests/test_train_fine.py; used by exp_synthetic_flagship_fast).
     fine_reuse_coarse: bool = False
 
     @property

@@ -75,7 +75,11 @@ class BTSTrainer:
             # largest divisor and leave the rest idle rather than crash.
             import math
             ndev = len(jax.devices())
-            use = math.gcd(int(config.get("batch_size", 1)), ndev)
+            # config batch_size is per host; the global batch is the
+            # concatenation of every host's loader batch (mesh.shard_batch).
+            global_batch = int(config.get("batch_size", 1)) \
+                * jax.process_count()
+            use = math.gcd(global_batch, ndev)
             if use != ndev:
                 import logging
                 logging.getLogger(__name__).warning(
@@ -106,11 +110,21 @@ class BTSTrainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, sample_batch: dict, key) -> TrainState:
-        images = sample_batch["imgs"]
-        n, v = images.shape[:2]
+        # Params depend only on shapes + key, so init runs on host-local
+        # stand-ins built from the sample batch's shapes: on multi-host
+        # runs the sample batch's leaves are global (cross-process) arrays,
+        # and eager ops on those are not allowed outside jit. Benign values
+        # (identity poses, pinhole-ish intrinsics) keep the init trace free
+        # of 1/0s under jax_debug_nans.
+        n, v = sample_batch["imgs"].shape[:2]
+        images = jnp.zeros(sample_batch["imgs"].shape, jnp.float32)
+        poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                 sample_batch["poses"].shape)
+        projs = jnp.broadcast_to(
+            jnp.asarray([[0.6, 0, 0], [0, 1.8, 0], [0, 0, 1]],
+                        dtype=jnp.float32), sample_batch["projs"].shape)
         xyz = jnp.zeros((n, 8, 3))
-        variables = self.net.init(key, images, sample_batch["projs"],
-                                  sample_batch["poses"], xyz)
+        variables = self.net.init(key, images, projs, poses, xyz)
         enc_conf = self.config["model_conf"].get("encoder", {})
         if enc_conf.get("pretrained") or enc_conf.get("cp_location"):
             from behindthescenes_tpu.import_torch import \
@@ -203,7 +217,12 @@ class BTSTrainer:
             out = {"depth": data["fine"][0]["depth"],
                    "rgb": data["fine"][0]["rgb"]}
             if with_depth_metrics:
-                out["metrics"] = compute_depth_metrics(data)
+                # Metric scalars must be fully replicated: the harness
+                # float()s them on every host, which requires an
+                # addressable (replicated) value on multi-host runs.
+                out["metrics"] = jax.lax.with_sharding_constraint(
+                    compute_depth_metrics(data),
+                    replicated_sharding(self.mesh))
             return out
 
         return jax.jit(eval_step)

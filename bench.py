@@ -28,15 +28,47 @@ apply_platform_env()
 import jax
 import jax.numpy as jnp
 
-# rays/sec of the torch-CPU reference-equivalent hot path on this host
-# (scripts/bench_torch_baseline.py, median of 3).
+# Fallback rays/sec of the torch-CPU reference-equivalent hot path
+# (scripts/bench_torch_baseline.py, median of 3, measured 2026-08 on this
+# machine). main() re-measures the baseline live at bench time so the
+# denominator carries its own provenance; this constant is only used when
+# the live run fails, and the JSON says so.
 TORCH_CPU_BASELINE_RAYS_PER_SEC = 23577.0
+
+
+def measure_torch_baseline():
+    """Re-measure the vs_baseline denominator on THIS host, in a
+    subprocess (torch's thread pools stay out of the TPU process).
+    Returns (rays_per_sec, provenance_dict)."""
+    import platform
+    import re
+    import subprocess
+    import sys
+    host = {"node": platform.node(), "machine": platform.machine(),
+            "date": time.strftime("%Y-%m-%d")}
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts", "bench_torch_baseline.py")],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        m = re.search(r"([0-9.]+) rays/s", out.stdout)
+        if out.returncode == 0 and m:
+            return float(m.group(1)), {
+                **host, "method": "scripts/bench_torch_baseline.py, "
+                "measured live this run (median of 3 frames, torch CPU)"}
+    except Exception:                               # noqa: BLE001
+        pass
+    return TORCH_CPU_BASELINE_RAYS_PER_SEC, {
+        **host, "method": "STALE constant (live re-measure failed); "
+        "scripts/bench_torch_baseline.py, 2026-08"}
 
 H, W = 192, 640
 N_COARSE = 64
 
 
-def build():
+def build(deterministic: bool):
     from behindthescenes_tpu.models.bts import BTSNet
     from behindthescenes_tpu import renderer as renderer_lib
     from behindthescenes_tpu.ray_sampler import ImageRaySampler
@@ -70,11 +102,10 @@ def build():
 
     from behindthescenes_tpu.inference import render_depth_selfview
 
-    # Deterministic camera-z sampling is this framework's production
-    # inference mode (same K samples/ray, shared z-code table, no sampling
-    # noise). BTS_BENCH_JITTERED=1 benchmarks the reference-style
-    # stratified-jitter sampling instead.
-    deterministic = os.environ.get("BTS_BENCH_JITTERED") != "1"
+    # deterministic=True: camera-z midpoint sampling, this framework's
+    # production inference mode (same K samples/ray, shared z-code table,
+    # no sampling noise). deterministic=False: reference-style stratified-
+    # jitter sampling (nerf.py:103-123 semantics) — main() measures BOTH.
 
     def render_frame(variables, images, projs, poses, key):
         from behindthescenes_tpu.models.bts import BTSNet as _B
@@ -184,17 +215,32 @@ def bench_train_step():
 
 
 def main():
-    fn, args = build()
+    fn, args = build(deterministic=True)
     t_frame = marginal_time(fn, args, 4, 34)
     rays_per_sec = H * W / t_frame
-    fn = args = None          # release HBM before the training bench
+    fn = args = None          # release HBM before the next bench
+
+    # Reference-semantics co-headline: stratified-jitter z sampling
+    # (reference nerf.py:103-123) through the same pipeline, so the
+    # headline is comparable to the reference's sampling at a glance.
+    fn, args = build(deterministic=False)
+    t_jit = marginal_time(fn, args, 4, 34)
+    jittered_rays_per_sec = H * W / t_jit
+    fn = args = None
 
     nvs_pts_per_sec = bench_general_query()
 
+    baseline_rps, baseline_prov = measure_torch_baseline()
+
     extra = {
+        "jittered_rays_per_sec": round(jittered_rays_per_sec, 1),
+        "jittered_unit": "rays/s, stratified-jitter sampling "
+                         "(reference nerf.py semantics), 1 chip",
         "nvs_general_query_pts_per_sec": round(nvs_pts_per_sec, 1),
         "nvs_general_query_unit":
             "field queries/s, cross-view path (NVS/training), 1 chip",
+        "baseline_rays_per_sec": round(baseline_rps, 1),
+        "baseline_provenance": baseline_prov,
     }
     try:
         sps, desc = bench_train_step()
@@ -207,8 +253,7 @@ def main():
         "metric": "depth_render_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s (192x640x64smp full pipeline, 1 chip)",
-        "vs_baseline": round(rays_per_sec / TORCH_CPU_BASELINE_RAYS_PER_SEC,
-                             2),
+        "vs_baseline": round(rays_per_sec / baseline_rps, 2),
         "extra_metrics": extra,
     }))
 

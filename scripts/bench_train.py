@@ -44,6 +44,12 @@ def measure(batch_size: int = 8, mode: str = "kitti_raw"):
     """Marginal-timed train-step cost. Returns (ms_per_step,
     samples_per_sec, desc). Importable (bench.py reports the flagship
     shape as an extra metric)."""
+    valid_modes = {"kitti_raw", "kitti_raw_fast", "k360", "re10k"}
+    if mode not in valid_modes:
+        # The mode ifs below are non-exclusive fall-throughs: a typo'd mode
+        # would silently benchmark the default shape under a bogus label.
+        raise ValueError(f"unknown mode {mode!r}; expected one of "
+                         f"{sorted(valid_modes)}")
     H, W = 192, 640
     config = {
         "seed": 0, "learning_rate": 1e-4, "bf16": True,

@@ -75,10 +75,11 @@ def test_converged_synthetic_accuracy(bf16):
             vals[k].append(float(out["metrics"][k]))
     abs_rel = float(np.mean(vals["abs_rel"]))
     a1 = float(np.mean(vals["a1"]))
-    # Eval CLI measured 0.172 / 0.744 (f32 params, 8 scenes); loose bounds
-    # absorb the f16 export and the 4-scene subset.
-    assert abs_rel < 0.26, f"abs_rel regressed: {abs_rel}"
-    assert a1 > 0.60, f"a1 regressed: {a1}"
+    # Measured on this exact 4-scene subset: abs_rel 0.1720 / a1 0.7415
+    # (f32 and bf16 agree to 5e-4). Gates sit ~10% off the measured values
+    # so a 10% semantic regression fails, not just a 50% cliff.
+    assert abs_rel < 0.19, f"abs_rel regressed: {abs_rel} (measured 0.172)"
+    assert a1 > 0.72, f"a1 regressed: {a1} (measured 0.7415)"
 
 
 @pytest.mark.skipif(not os.path.exists(ARTIFACT),
@@ -107,5 +108,44 @@ def test_converged_synthetic_nvs():
         out = ev.evaluate(variables, batch)
         psnrs.append(out["psnr"])
         ssims.append(out["ssim"])
-    assert np.mean(psnrs) > 17.0, f"NVS psnr regressed: {psnrs}"
-    assert np.mean(ssims) > 0.70, f"NVS ssim regressed: {ssims}"
+    # Measured on this exact 2-scene subset: PSNR 21.53 / SSIM 0.852.
+    assert np.mean(psnrs) > 20.8, f"NVS psnr regressed: {psnrs}"
+    assert np.mean(ssims) > 0.82, f"NVS ssim regressed: {ssims}"
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged artifact not present")
+def test_depth_eval_selfview_matches_general():
+    """The DepthEvaluator's self-view fast path (eval_selfview, the
+    eval_depth default for code_mode=z) must produce the same depth
+    METRICS as the general chunked path on converged weights — the
+    5e-3-depth parity (PERF.md) is far below metric sensitivity, and this
+    pins it at the evaluator level where the CLI actually runs."""
+    from behindthescenes_tpu.evaluation.depth import DepthEvaluator
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    variables = load_params_npz(ARTIFACT)
+    cfg = _config()
+    net = BTSNet.from_conf(cfg["model_conf"])
+    rcfg = renderer_lib.RendererConfig.from_conf(cfg["renderer"])
+    mc = cfg["model_conf"]
+    ev_fast = DepthEvaluator(net, rcfg, dict(mc, eval_selfview=True))
+    ev_gen = DepthEvaluator(net, rcfg, dict(mc, eval_selfview=False))
+    assert ev_fast.use_selfview and not ev_gen.use_selfview
+
+    _, test_ds = make_datasets({"type": "Synthetic",
+                                "image_size": (48, 64), "data_fc": 2,
+                                "length": 64})
+    for i in range(2):
+        batch = collate([test_ds[i]])
+        m_fast = ev_fast.evaluate(variables, batch)
+        m_gen = ev_gen.evaluate(variables, batch)
+        # The fast path also switches to deterministic midpoint z's (no
+        # stratified jitter), which systematically IMPROVES the threshold
+        # metrics a little (measured a1 +0.028 on scene 0); the bound
+        # covers sampler-level deviation, while a broken fast path (wrong
+        # resample, z-table, K-ladder) lands orders of magnitude outside.
+        for k, tol in (("abs_rel", 0.02), ("a1", 0.05), ("rmse", 0.05)):
+            assert abs(m_fast[k] - m_gen[k]) < tol * max(1.0, m_gen[k]), \
+                (k, m_fast[k], m_gen[k])

@@ -28,7 +28,11 @@ def main():
     proc_idx, proc_cnt = maybe_init_distributed(config)
     if proc_cnt > 1:
         print(f"multi-host: process {proc_idx}/{proc_cnt}")
-        config["seed"] = config.get("seed", 0) + proc_idx  # rank seeding
+        # Per-host data variety comes from disjoint dataset shards
+        # (loader.shard_for_host), NOT from forking the seed: the compiled
+        # step is SPMD, so every traced input the hosts pass as
+        # "replicated" (PRNG key, view ids) must be host-invariant —
+        # rank-seeding those would silently diverge the global program.
         config["data"] = dict(config.get("data", {}),
                               host_shard=(proc_idx, proc_cnt))
 
