@@ -16,12 +16,16 @@ def make_datasets(data_conf: dict):
         h, w = data_conf.get("image_size", (48, 64))
         fc = data_conf.get("data_fc", 2)
         length = data_conf.get("length", 64)
+        scene = data_conf.get("scene", "street")
+        thin = data_conf.get("thin_structures", 0)
         train = SyntheticBoxDataset(length=length, frame_count=fc + 2,
                                     height=h, width=w, return_depth=False,
-                                    seed=1)
+                                    seed=1, scene_type=scene,
+                                    thin_structures=thin)
         test = SyntheticBoxDataset(length=max(4, length // 8),
                                    frame_count=2, height=h, width=w,
-                                   return_depth=True, seed=2)
+                                   return_depth=True, seed=2,
+                                   scene_type=scene, thin_structures=thin)
         return train, test
     if dtype == "KITTI_Raw":
         from behindthescenes_tpu.datasets.kitti_raw import KittiRawDataset
