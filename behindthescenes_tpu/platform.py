@@ -52,3 +52,37 @@ def maybe_init_distributed(config: dict | None = None):
             process_id=int(config.get(
                 "process_id", os.environ.get("JAX_PROCESS_ID", 0))))
     return jax.process_index(), jax.process_count()
+
+
+_barrier_round = iter(range(1 << 62))
+
+
+def multihost_barrier(tag: str = "", timeout_ms: int = 600_000):
+    """Align all hosts via the jax.distributed coordination-service KV
+    store (no device collective, minutes-scale timeout).
+
+    Why not multihost_utils.sync_global_devices: that spins up the
+    host-level gloo context, whose rendezvous window is a fixed ~30 s —
+    hosts legitimately skew past it during STARTUP (eager init compiles,
+    dataset construction, compile-cache races), observed as
+    `Gloo context initialization failed: DEADLINE_EXCEEDED` in the
+    2-process test. Call this once after per-host setup, before the first
+    collective-bearing construct; afterwards the compiled steps keep hosts
+    in lockstep by construction. No-op single-process and on jax versions
+    without the internal client handle."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is None:
+            return
+        rnd = next(_barrier_round)
+        client.key_value_set(f"bts/barrier/{tag}/{rnd}/{jax.process_index()}",
+                             "1")
+        for p in range(jax.process_count()):
+            client.blocking_key_value_get(f"bts/barrier/{tag}/{rnd}/{p}",
+                                          timeout_ms)
+    except (ImportError, AttributeError):
+        pass

@@ -235,6 +235,12 @@ def base_training(config: dict, get_dataflow: Callable,
     sample_batch = shard_batch(next(iter(train_loader)), trainer.mesh)
     state = trainer.init_state(sample_batch, init_key)
 
+    # Align hosts after the skewed per-host setup above (loader + eager
+    # init compiles) — the managers below are the run's first
+    # cross-host-synchronizing construct (see multihost_barrier docstring).
+    from behindthescenes_tpu.platform import multihost_barrier
+    multihost_barrier("post-init")
+
     ckpt = CheckpointManager(os.path.join(hc.output_path, "checkpoints"))
     best_ckpt = CheckpointManager(os.path.join(hc.output_path, "best"),
                                   max_to_keep=2)
@@ -373,14 +379,43 @@ def run_validation(trainer: BTSTrainer, state: TrainState,
     return _cross_host_means(metrics)
 
 
+_val_round = iter(range(1 << 62))  # same sequence on every host
+
+
 def _cross_host_means(metrics: dict) -> dict:
+    """Sum per-host (total, count) across hosts, then divide.
+
+    The exchange rides the jax.distributed coordination-service KV store
+    (the channel the cluster already depends on for startup/heartbeats)
+    rather than a device collective: process_allgather spins up a
+    host-level gloo context whose rendezvous window is ~30 s, and hosts
+    legitimately skew past that (validation-loop length differences,
+    stragglers, shared-core CI) — observed as `Gloo context initialization
+    failed: DEADLINE_EXCEEDED` in the 2-process test. For a dozen host
+    floats the KV store is the right transport; the get below waits
+    minutes, not seconds."""
     if jax.process_count() == 1 or not metrics:
         return {k: m.compute() for k, m in metrics.items()}
-    from jax.experimental import multihost_utils
     names = sorted(metrics)
-    local = np.asarray([[metrics[k].total, float(metrics[k].count)]
-                        for k in names], dtype=np.float64)
-    summed = np.asarray(
-        multihost_utils.process_allgather(local)).sum(axis=0)
-    return {k: (summed[i, 0] / summed[i, 1]) if summed[i, 1] else
+    payload = json.dumps([[metrics[k].total, float(metrics[k].count)]
+                          for k in names])
+    rnd = next(_val_round)
+    totals = np.zeros((len(names), 2), dtype=np.float64)
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+        assert client is not None
+        client.key_value_set(f"bts/val/{rnd}/{jax.process_index()}", payload)
+        for p in range(jax.process_count()):
+            got = client.blocking_key_value_get(f"bts/val/{rnd}/{p}",
+                                                300_000)  # ms
+            totals += np.asarray(json.loads(got), dtype=np.float64)
+    except (ImportError, AttributeError):
+        # Fallback for jax versions without the internal client handle.
+        from jax.experimental import multihost_utils
+        local = np.asarray([[metrics[k].total, float(metrics[k].count)]
+                            for k in names], dtype=np.float64)
+        totals = np.asarray(
+            multihost_utils.process_allgather(local)).sum(axis=0)
+    return {k: (totals[i, 0] / totals[i, 1]) if totals[i, 1] else
             float("nan") for i, k in enumerate(names)}
