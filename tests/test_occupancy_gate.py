@@ -1,0 +1,133 @@
+"""Occupancy accuracy gate (the KITTI-360 benchmark semantics).
+
+Evaluates the committed CONVERGED synthetic-KITTI-360 checkpoint
+(media/weights/k360_synth_conv.npz — exp_kitti_360 trained on the
+synthetic drive, see PERF.md round-3) with the LiDAR-occupancy and
+3D-bbox evaluators on a regenerated slice of the held-out drive, and
+gates the occupancy metrics. A regression in occupancy semantics — the
+sigma>0.5 threshold, the street-aligned query slab, visibility masking
+(reference models/bts/evaluator_lidar.py:222-341) — now fails CI as an
+accuracy cliff, mirroring what tests/test_accuracy_gate.py does for the
+depth path.
+
+The held-out drive is regenerated deterministically (same generator +
+seed as the training-time benchmark tree) and cached under /tmp; first
+run pays ~2 min of host raycasting.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ARTIFACT = os.path.join(REPO, "media", "weights", "k360_synth_conv.npz")
+TREE = "/tmp/bts_gate_k360"
+N_FRAMES = 28          # 2 eval keyframes with the full 20-step LiDAR window
+
+# Measured with the committed checkpoint on this exact 2-keyframe subset
+# (PERF.md round-3): o_acc 0.914, ie_prec 0.661, ie_rec 0.428. The same
+# weights at random init score o_acc 0.168 / ie_rec 0.0 / ie_prec nan, so
+# these bounds separate converged occupancy semantics from broken ones by
+# a wide margin while sitting ~10-20% under the measured values. ie_acc
+# is deliberately NOT gated: blanket-"occupied" scores 0.55 on it (most
+# invisible GT points are occupied), so it does not discriminate.
+O_ACC_MIN = 0.85
+IE_PREC_MIN = 0.50
+IE_REC_MIN = 0.35
+
+
+@pytest.fixture(scope="module")
+def gate_tree():
+    marker = os.path.join(TREE, ".complete")
+    if not os.path.exists(marker):
+        gen = os.path.join(REPO, "scripts", "datasets",
+                           "gen_synthetic_kitti_360.py")
+        pre = os.path.join(REPO, "scripts", "datasets",
+                           "preprocess_kitti_360.py")
+        subprocess.run(
+            [sys.executable, gen, "--out", TREE, "--seq", "drive_0001_sync",
+             "--seed", "1", "--splits", "none", "--frames", str(N_FRAMES),
+             "--scale", "0.5"], check=True, timeout=1200)
+        subprocess.run([sys.executable, pre, "-d", TREE], check=True,
+                       timeout=600)
+        os.makedirs(os.path.join(TREE, "splits"), exist_ok=True)
+        with open(os.path.join(TREE, "splits", "test_files.txt"), "w") as f:
+            f.write("drive_0001_sync 2 l\ndrive_0001_sync 5 l\n")
+        open(marker, "w").write("ok")
+    return TREE
+
+
+def _net_and_variables():
+    import jax.numpy as jnp
+    from behindthescenes_tpu.models.bts import BTSNet
+    from behindthescenes_tpu.utils.io import load_params_npz
+
+    model_conf = {
+        "arch": "BTSNet", "z_near": 3, "z_far": 80, "inv_z": True,
+        "learn_empty": False, "code_mode": "z",
+        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
+        "encoder": {"type": "monodepth2", "resnet_layers": 50,
+                    "num_ch_dec": (32, 32, 64, 128, 256), "d_out": 64,
+                    "scales": (0,)},
+        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
+        "mlp_fine": {"type": "empty"},
+        "query_batch_size": 50000,
+    }
+    net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
+    variables = load_params_npz(ARTIFACT)
+    return net, model_conf, variables
+
+
+def _dataset(tree, **kw):
+    from behindthescenes_tpu.datasets.kitti_360 import Kitti360Dataset
+    return Kitti360Dataset(
+        data_path=tree, pose_path=os.path.join(tree, "data_poses"),
+        split_path=os.path.join(tree, "splits", "test_files.txt"),
+        target_image_size=(192, 640), return_stereo=False,
+        return_fisheye=False, frame_count=1, is_preprocessed=True, **kw)
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged k360 artifact not present")
+def test_lidar_occupancy_gate(gate_tree):
+    from behindthescenes_tpu import renderer as rlib
+    from behindthescenes_tpu.datasets.synthetic import collate
+    from behindthescenes_tpu.evaluation.lidar_occ import LidarOccEvaluator
+
+    net, mc, variables = _net_and_variables()
+    ds = _dataset(gate_tree)
+    cfg = rlib.RendererConfig(n_coarse=64, lindisp=True, hard_alpha_cap=True)
+    ev = LidarOccEvaluator(net, cfg, mc, ds)
+
+    vals = {}
+    for i in range(2):
+        out = ev.evaluate(variables, collate([ds[i]]))
+        for k, v in out.items():
+            vals.setdefault(k, []).append(float(v))
+    means = {k: float(np.mean(v)) for k, v in vals.items()}
+    assert means["o_acc"] > O_ACC_MIN, means
+    assert means["ie_prec"] > IE_PREC_MIN, means
+    assert means["ie_rec"] > IE_REC_MIN, means
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged k360 artifact not present")
+def test_bbox_occupancy_gate(gate_tree):
+    from behindthescenes_tpu import renderer as rlib
+    from behindthescenes_tpu.datasets.synthetic import collate
+    from behindthescenes_tpu.evaluation.bbox_occ import BBoxOccEvaluator
+
+    net, mc, variables = _net_and_variables()
+    ds = _dataset(gate_tree, return_3d_bboxes=True, return_segmentation=True)
+    cfg = rlib.RendererConfig(n_coarse=64, lindisp=True, hard_alpha_cap=True)
+    ev = BBoxOccEvaluator(net, cfg, mc, ds)
+
+    # Measured with the committed checkpoint on this frame: o_acc 0.907,
+    # ie_rec 0.376 (untrained: 0.132 / 0.0015).
+    out = ev.evaluate(variables, collate([ds[0]]))
+    assert float(out["o_acc"]) > 0.80, dict(out)
+    assert float(out["ie_rec"]) > 0.30, dict(out)
