@@ -29,10 +29,11 @@ ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "media", "weights",
                         "re10k_synth_conv.npz")
 
 # Set from scripts/measure_gate_values.py on this exact 2-scene 64x96
-# subset with the committed checkpoint (PERF.md round-3); gates sit ~10%
-# off measurement so a 10% semantic regression fails, not just a cliff.
-PSNR_MIN = 23.4
-SSIM_MIN = 0.78
+# subset with the committed checkpoint (PERF.md round-3): measured
+# PSNR 30.11 / SSIM 0.9245. Gates sit ~10% off measurement so a 10%
+# semantic regression fails, not just a cliff.
+PSNR_MIN = 27.0
+SSIM_MIN = 0.83
 
 
 def _model_conf():
