@@ -44,8 +44,11 @@ def measure_torch_baseline():
     import re
     import subprocess
     import sys
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
     host = {"node": platform.node(), "machine": platform.machine(),
-            "date": time.strftime("%Y-%m-%d")}
+            "date": time.strftime("%Y-%m-%d"),
+            "loadavg1_before": round(load1, 2), "ncpu": ncpu}
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(
@@ -55,7 +58,20 @@ def measure_torch_baseline():
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         m = re.search(r"([0-9.]+) rays/s", out.stdout)
         if out.returncode == 0 and m:
-            return float(m.group(1)), {
+            live = float(m.group(1))
+            ratio = live / TORCH_CPU_BASELINE_RAYS_PER_SEC
+            if ratio < 1 / 3 or ratio > 3:
+                # The torch baseline is CPU-bound; a contended host (e.g.
+                # a test suite running alongside) silently deflates it and
+                # inflates vs_baseline. A >3x swing vs the stored constant
+                # on the same workload means the measurement is suspect —
+                # keep the constant and record both.
+                return TORCH_CPU_BASELINE_RAYS_PER_SEC, {
+                    **host, "live_rays_per_sec_rejected": round(live, 1),
+                    "method": "stored constant (live re-measure deviated "
+                    f"{ratio:.2f}x from the 2026-08 constant — host "
+                    "contention suspected); scripts/bench_torch_baseline.py"}
+            return live, {
                 **host, "method": "scripts/bench_torch_baseline.py, "
                 "measured live this run (median of 3 frames, torch CPU)"}
     except Exception:                               # noqa: BLE001
