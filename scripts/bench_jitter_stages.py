@@ -187,6 +187,40 @@ def main():
             H, W, rcfg, 3.0 + salt * 1e-12, 80.0, deterministic=True)
         return jnp.sum(d) * 1e-9
 
+    from behindthescenes_tpu.ops.pallas.jitter_density import (
+        jitter_density_jnp, jitter_density_pallas)
+    w_out_col = w_out[:, :1]
+
+    def p_kernel(hs, z, salt=0.0):
+        logits = jitter_density_pallas(
+            coord_of(z + salt), hs, w_d, b_in, w_out_col, b_out[0],
+            n_freqs=6, freq_factor=1.5,
+            interpret=jax.default_backend() != "tpu")
+        return jnp.sum(jax.nn.softplus(logits)) * 1e-9
+
+    def p_kernel_ref(hs, z, salt=0.0):
+        logits = jitter_density_jnp(
+            coord_of(z + salt), hs, w_d, b_in, w_out_col, b_out[0],
+            n_freqs=6, freq_factor=1.5)
+        return jnp.sum(jax.nn.softplus(logits)) * 1e-9
+
+    if os.environ.get("BTS_BENCH_KERNEL_ONLY"):
+        timeit("jnp posenc+hdyn+tail (kernel's scope)", p_kernel_ref,
+               h_static.astype(jnp.float32), z0)
+        timeit("FUSED PALLAS jitter density", p_kernel,
+               h_static.astype(jnp.float32), z0)
+        # On-chip parity at the real shape.
+        a = jitter_density_pallas(coord_of(z0), h_static.astype(jnp.float32),
+                                  w_d, b_in, w_out_col, b_out[0],
+                                  n_freqs=6, freq_factor=1.5,
+                                  interpret=jax.default_backend() != "tpu")
+        b = jitter_density_jnp(coord_of(z0), h_static.astype(jnp.float32),
+                               w_d, b_in, w_out_col, b_out[0],
+                               n_freqs=6, freq_factor=1.5)
+        dev = jnp.max(jnp.abs(a - b))
+        print(f"max |pallas - jnp| logit deviation: {float(dev):.2e}")
+        return
+
     timeit("rng sample_coarse (hw,K)", p_rng, key)
     timeit("+ coord transform (inv-z)", p_coord, z0)
     timeit("+ z posenc code (hw,K,13)", p_code, z0)
