@@ -33,15 +33,21 @@ class DepthEvaluator:
         self.lpips = M.LPIPSVGG.maybe_create(lpips_weights) if eval_nvs \
             else None
         # Keyframe depth via the self-view fast path (inference.py:
-        # render_depth_selfview, deterministic shared-z): ~3-5 ms/frame vs
-        # ~159 ms through the general chunked query, parity 5e-3 depth
-        # (PERF.md) — far below the depth metrics' sensitivity, gated by
-        # tests/test_accuracy_gate.py. "auto" = on when code_mode == "z"
-        # and only the keyframe depth is needed (NVS eval needs cross-view
-        # color, which only the general path produces).
+        # render_depth_selfview): ~3-7 ms/frame vs ~159 ms through the
+        # general chunked query, parity 5e-3 depth (PERF.md) — far below
+        # the depth metrics' sensitivity, gated by
+        # tests/test_accuracy_gate.py. "auto" = on for both code modes
+        # when only the keyframe depth is needed (NVS eval needs
+        # cross-view color, which only the general path produces).
+        # code_mode=z additionally collapses to the deterministic shared-z
+        # ladder; distance mode keeps reference-semantics stratified
+        # jitter (query_selfview_density computes the distance coord
+        # directly — models/bts.py:517-518).
         sv = config.get("eval_selfview", "auto")
-        self.use_selfview = (config.get("code_mode") == "z") if sv == "auto" \
-            else bool(sv)
+        code_mode = config.get("code_mode", "z")
+        self.use_selfview = (code_mode in ("z", "distance")) \
+            if sv == "auto" else bool(sv)
+        self._sv_deterministic = code_mode == "z"
         self._render = None
         self._render_sv = None
 
@@ -89,7 +95,8 @@ class DepthEvaluator:
                              method=BTSNet.encode)
             depth, _, _ = render_depth_selfview(
                 net, variables, grid, key, h, w, cfg, self.z_near,
-                self.z_far, as_z_depth=True, deterministic=True)
+                self.z_far, as_z_depth=True,
+                deterministic=self._sv_deterministic)
             return depth                                # (1, h, w) z-depth
 
         return jax.jit(render)

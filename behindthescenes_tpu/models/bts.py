@@ -534,13 +534,27 @@ class BTSNet(nn.Module):
             # 13-dim z-code feeds the MLP.
             pe = self.code_xyz
             code_xy = pe.subset((0, 1))(xy)                 # (h*w, 26)
-            code_z = pe.subset((2,))(coord[..., None])      # (h*w, K, 13)
             rows_static = jnp.concatenate([
                 jnp.arange(c), c + jnp.asarray(pe.subset_rows((0, 1)))])
             rows_dyn = c + jnp.asarray(pe.subset_rows((2,)))
             x_static = jnp.concatenate([feats[0], code_xy], axis=-1)
-            out = mlp.call_split(x_static, code_z, rows_static, rows_dyn)
-            out = out.reshape(1, h * w, k, -1)[..., 0]
+            from behindthescenes_tpu.ops.pallas.jitter_density import (
+                jitter_kernel_enabled)
+            if (jitter_kernel_enabled() and mlp.n_blocks == 0
+                    and mlp.beta == 0 and mlp.d_latent == 0
+                    and pe.include_input):
+                # Fused Pallas path: posenc + lin_in + relu + lin_out in
+                # VMEM — removes ~3.9 ms/frame of HBM intermediates
+                # (PERF.md kernel index; BTS_JITTER_PALLAS=0 reverts).
+                out = mlp.call_split_jitter(
+                    x_static, coord, rows_static, rows_dyn,
+                    n_freqs=pe.num_freqs, freq_factor=pe.freq_factor)
+                out = out.reshape(1, h * w, k)
+            else:
+                code_z = pe.subset((2,))(coord[..., None])  # (h*w, K, 13)
+                out = mlp.call_split(x_static, code_z, rows_static,
+                                     rows_dyn)
+                out = out.reshape(1, h * w, k, -1)[..., 0]
         else:
             xyz_proj = jnp.concatenate(
                 [jnp.broadcast_to(xy[:, None, :], (h * w, k, 2)),

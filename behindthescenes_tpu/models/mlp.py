@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
@@ -148,6 +149,35 @@ class ResnetFC(nn.Module):
         h_dyn = jnp.dot(x_dynamic.astype(dt), w_d.astype(dt))
         x = h_static[..., None, :] + h_dyn + bias.astype(dt)
         return self._tail(x, None, (1,))
+
+    def call_split_jitter(self, x_static, coord, rows_static, rows_dynamic,
+                          *, n_freqs: int, freq_factor: float):
+        """Fused Pallas variant of `call_split` for the stratified-jitter
+        self-view density decode: the per-sample input is a SCALAR coord
+        (B, K) whose 13-dim positional code and the following
+        lin_in/relu/lin_out run entirely in VMEM
+        (ops/pallas/jitter_density.py) — the (B, K, 13) code and (B, K, H)
+        hidden tensors never reach HBM.
+
+        Returns (B, K) pre-activation logits of the DENSITY column only.
+        Requires n_blocks == 0, beta == 0, d_latent == 0 and the
+        interleaved [id, sin f, cos f, ...] code layout (include_input).
+        """
+        assert self.d_latent == 0 and self.n_blocks == 0 and self.beta == 0
+        from behindthescenes_tpu.ops.pallas.jitter_density import (
+            jitter_density_pallas)
+        kernel = self.lin_in.variables["params"]["kernel"]
+        bias = self.lin_in.variables["params"]["bias"]
+        w_s = kernel[jnp.asarray(rows_static)]
+        w_d = kernel[jnp.asarray(rows_dynamic)]
+        dt = self.dtype or x_static.dtype
+        h_static = jnp.dot(x_static.astype(dt), w_s.astype(dt))
+        w_out = self.lin_out.variables["params"]["kernel"][:, :1]
+        b_out = self.lin_out.variables["params"]["bias"][0]
+        return jitter_density_pallas(
+            coord.astype(jnp.float32), h_static, w_d, bias, w_out, b_out,
+            n_freqs=n_freqs, freq_factor=freq_factor,
+            interpret=jax.default_backend() != "tpu")
 
     def call_split_shared(self, x_static, x_dynamic_shared,
                           rows_static=None, rows_dynamic=None):

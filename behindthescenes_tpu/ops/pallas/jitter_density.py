@@ -34,15 +34,34 @@ Inference-only (the jittered self-view render; training uses the general
 query path) — no custom VJP. Numerics mirror the jnp path's bf16 compute
 (bf16 matmul inputs, f32 accumulation); parity-tested in
 tests/test_pallas_jitter.py.
+
+Wiring: BTSNet.query_selfview_density dispatches here (via
+ResnetFC.call_split_jitter) when `jitter_kernel_enabled()` — on-TPU by
+default, overridable with BTS_JITTER_PALLAS=0/1. On CPU the default is the
+jnp path (the kernel only runs in interpret mode there).
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+
+def jitter_kernel_enabled() -> bool:
+    """Whether the fused jitter-density kernel replaces the jnp path.
+
+    BTS_JITTER_PALLAS=1/0 forces it; unset, the default is ON for the TPU
+    backend (measured win — see PERF.md kernel index) and OFF elsewhere
+    (interpret mode is for parity tests only).
+    """
+    flag = os.environ.get("BTS_JITTER_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
 
 
 KB = 8  # k-samples fused per MXU dot: 8*13 = 104 contraction rows <= 128,
@@ -52,7 +71,6 @@ KB = 8  # k-samples fused per MXU dot: 8*13 = 104 contraction rows <= 128,
 
 def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
             b_out_ref, out_ref, *, n_freqs: int, freq_factor: float):
-    h = hsT_ref.shape[0]
     hs_stack = jnp.concatenate([hsT_ref[...]] * KB, axis=0) \
         .astype(jnp.float32)                            # (KB*H, T)
     wd_bd = wdbd_ref[...].astype(jnp.bfloat16)          # (KB*H, KB*13)

@@ -149,3 +149,55 @@ def test_depth_eval_selfview_matches_general():
         for k, tol in (("abs_rel", 0.02), ("a1", 0.05), ("rmse", 0.05)):
             assert abs(m_fast[k] - m_gen[k]) < tol * max(1.0, m_gen[k]), \
                 (k, m_fast[k], m_gen[k])
+
+
+RE10K_ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "media",
+                              "weights", "re10k_synth_conv.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(RE10K_ARTIFACT),
+                    reason="converged re10k artifact not present")
+def test_depth_eval_selfview_matches_general_distance_mode():
+    """Same evaluator-level parity gate for code_mode=distance (the RE10K
+    shape, reference configs/exp_re10k.yaml): auto eval_selfview now takes
+    the JITTERED self-view query (deterministic shared-z is z-specific),
+    leaving the 159 ms general-path class. The distance coord equals the
+    sample distance along the unit ray (models/bts.py), so metrics must
+    match the general chunked path on converged weights."""
+    from behindthescenes_tpu.evaluation.depth import DepthEvaluator
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    mc = {
+        "arch": "BTSNet", "z_near": 1.0, "z_far": 100.0, "inv_z": True,
+        "learn_empty": False, "code_mode": "distance",
+        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
+        "encoder": {"type": "monodepth2", "resnet_layers": 50,
+                    "num_ch_dec": (32, 32, 64, 128, 256), "d_out": 32,
+                    "scales": (0,)},
+        "mlp_coarse": {"type": "resnet", "n_blocks": 1, "d_hidden": 32},
+        "mlp_fine": {"type": "empty"},
+    }
+    variables = load_params_npz(RE10K_ARTIFACT)
+    net = BTSNet.from_conf(mc)
+    rcfg = renderer_lib.RendererConfig(n_coarse=48, lindisp=True,
+                                       hard_alpha_cap=True)
+    ev_auto = DepthEvaluator(net, rcfg, mc)
+    ev_gen = DepthEvaluator(net, rcfg, dict(mc, eval_selfview=False))
+    # distance mode now auto-enables the (jittered) self-view path.
+    assert ev_auto.use_selfview and not ev_auto._sv_deterministic
+    assert not ev_gen.use_selfview
+
+    from behindthescenes_tpu.datasets.factory import make_datasets as _mk
+    _, test_ds = _mk({"type": "Synthetic", "scene": "indoor",
+                      "image_size": (64, 96), "data_fc": 3, "length": 96})
+    for i in range(2):
+        batch = collate([test_ds[i]])
+        m_fast = ev_auto.evaluate(variables, batch)
+        m_gen = ev_gen.evaluate(variables, batch)
+        # Both paths stratified-jitter their z samples (different RNG
+        # consumption), so the bound covers sampler noise; a broken
+        # distance coord or resample lands orders of magnitude outside.
+        for k, tol in (("abs_rel", 0.02), ("a1", 0.05), ("rmse", 0.05)):
+            assert abs(m_fast[k] - m_gen[k]) < tol * max(1.0, m_gen[k]), \
+                (k, m_fast[k], m_gen[k])

@@ -54,10 +54,23 @@ def test_kernel_matches_jnp_unpadded_vs_padded():
                                atol=2e-2, rtol=2e-2)
 
 
-def test_module_path_parity():
-    """query_selfview_density with the kernel ON vs OFF (jittered z)."""
-    import os
+def test_flag_is_consumed(monkeypatch):
+    """jitter_kernel_enabled() must actually read BTS_JITTER_PALLAS."""
+    from behindthescenes_tpu.ops.pallas import jitter_density as jd
+    monkeypatch.setenv("BTS_JITTER_PALLAS", "1")
+    assert jd.jitter_kernel_enabled() is True
+    monkeypatch.setenv("BTS_JITTER_PALLAS", "0")
+    assert jd.jitter_kernel_enabled() is False
+
+
+def test_module_path_parity(monkeypatch):
+    """query_selfview_density with the kernel ON vs OFF (jittered z).
+
+    The ON run must actually reach jitter_density_pallas (counted via a
+    wrap), so this fails — not silently passes — if the dispatch in
+    BTSNet.query_selfview_density stops consuming the flag."""
     from behindthescenes_tpu.models.bts import BTSNet
+    from behindthescenes_tpu.ops.pallas import jitter_density as jd
 
     h, w = 24, 32
     model_conf = {
@@ -87,11 +100,19 @@ def test_module_path_parity():
         return net.apply(variables, grid, z_samp, scale=0, out_hw=(h, w),
                          method=BTSNet.query_selfview_density)
 
-    os.environ["BTS_JITTER_PALLAS"] = "0"
-    try:
-        ref = run()
-    finally:
-        os.environ.pop("BTS_JITTER_PALLAS", None)
-    on = run()   # default: kernel path (interpret mode off-TPU)
+    monkeypatch.setenv("BTS_JITTER_PALLAS", "0")
+    ref = run()
+
+    calls = {"n": 0}
+    real = jd.jitter_density_pallas
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(jd, "jitter_density_pallas", counted)
+    monkeypatch.setenv("BTS_JITTER_PALLAS", "1")
+    on = run()   # forced kernel path (interpret mode off-TPU)
+    assert calls["n"] == 1, "kernel path was not dispatched with flag on"
     np.testing.assert_allclose(np.asarray(on), np.asarray(ref),
                                atol=2e-2, rtol=3e-2)
