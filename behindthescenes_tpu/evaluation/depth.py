@@ -48,6 +48,13 @@ class DepthEvaluator:
         self.use_selfview = (code_mode in ("z", "distance")) \
             if sv == "auto" else bool(sv)
         self._sv_deterministic = code_mode == "z"
+        # Multi-chip: shard the general path's ray dimension over every
+        # local device (parallel/mesh.eval_mesh; the reference's analogue
+        # is the DDP eval it gets from idist, utils/base_evaluator.py:15).
+        # Equivalence vs single-device is pinned in
+        # tests/test_multidevice_eval.py.
+        from behindthescenes_tpu.parallel.mesh import eval_mesh
+        self.mesh = eval_mesh()
         self._render = None
         self._render_sv = None
 
@@ -68,7 +75,8 @@ class DepthEvaluator:
                                  method=BTSNet.query)
 
             out = renderer_lib.render_rays_chunked(query_fn, rays, key, cfg,
-                                                   ray_chunk=16384)
+                                                   ray_chunk=16384,
+                                                   mesh=self.mesh)
             render_dict = {"coarse": out["coarse"],
                            "fine": out.get("fine", dict(out["coarse"]))}
             render_dict = sampler.reconstruct(render_dict)

@@ -169,6 +169,10 @@ class LidarOccEvaluator:
         self.y_res = 1
         self.dataset = dataset
         self.aggregate_timesteps = 20
+        # Shard the dense density-grid query over every local device (see
+        # DepthEvaluator; equivalence in tests/test_multidevice_eval.py).
+        from behindthescenes_tpu.parallel.mesh import eval_mesh
+        self.mesh = eval_mesh()
         self._encode = None
         self._fns_shape = None
         self._query = None
@@ -187,13 +191,24 @@ class LidarOccEvaluator:
                 self.z_far, as_z_depth=True)
             return grid, depth
 
+        mesh = self.mesh
+        qbs = self.query_batch_size
+        if mesh is not None:
+            # query_batch_size is the per-device budget.
+            from behindthescenes_tpu.parallel.mesh import ray_sharding
+            point_spec = ray_sharding(mesh)             # (1, Q, 3) dim 1
+            qbs = qbs * mesh.shape["rays"]
+
         def query_density(variables, grid, pts):
-            n_chunks = -(-pts.shape[0] // self.query_batch_size)
-            pad = n_chunks * self.query_batch_size - pts.shape[0]
+            n_chunks = -(-pts.shape[0] // qbs)
+            pad = n_chunks * qbs - pts.shape[0]
             pts_p = jnp.pad(pts, [(0, pad), (0, 0)])
-            chunks = pts_p.reshape(n_chunks, 1, self.query_batch_size, 3)
+            chunks = pts_p.reshape(n_chunks, 1, qbs, 3)
 
             def body(chunk):
+                if mesh is not None:
+                    chunk = jax.lax.with_sharding_constraint(chunk,
+                                                             point_spec)
                 _, _, sigma = net.apply(variables, grid, chunk,
                                         only_density=True,
                                         method=BTSNet.query)

@@ -34,6 +34,10 @@ class NVSEvaluator:
         self.eval_resolution = tuple(eval_resolution) if eval_resolution \
             else None
         self.lpips = M.LPIPSVGG.maybe_create(lpips_weights)
+        # Ray-shard full-frame renders over every local device (see
+        # DepthEvaluator; equivalence in tests/test_multidevice_eval.py).
+        from behindthescenes_tpu.parallel.mesh import eval_mesh
+        self.mesh = eval_mesh()
         self._render = None
         self._shape = None
 
@@ -61,7 +65,8 @@ class NVSEvaluator:
                                  method=BTSNet.query)
 
             out = renderer_lib.render_rays_chunked(query_fn, rays, key, cfg,
-                                                   ray_chunk=16384)
+                                                   ray_chunk=16384,
+                                                   mesh=self.mesh)
             render_dict = {"coarse": out["coarse"],
                            "fine": out.get("fine", dict(out["coarse"]))}
             return sampler.reconstruct(render_dict)

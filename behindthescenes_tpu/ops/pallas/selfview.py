@@ -12,6 +12,13 @@ Only the n_blocks=0 ResnetFC configuration (the shipped KITTI configs,
 reference configs/exp_kitti_raw.yaml:41-44) runs through this kernel; other
 shapes fall back to the jnp path. Inference-only (no VJP): training uses the
 general query path.
+
+**Measured result (kept for the record): the kernel LOSES.** 147M pts/s vs
+XLA's 1.7G on chip (PERF.md finding 5): the points-as-rows layout lane-pads
+the 13-wide code to 128 lanes and the one-hot MXU broadcast adds work.
+OFF — parity-tested scaffold (tests/test_pallas_selfview.py); the shipped
+self-view fast path is the XLA formulation in models/bts.py. See the
+PERF.md kernel decision index.
 """
 from __future__ import annotations
 

@@ -88,3 +88,19 @@ def make_mesh_2d(devices=None, data: int = 1, rays: int = 0) -> Mesh:
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard (n, B, 8) ray tensors over the ray axis (dim 1)."""
     return NamedSharding(mesh, P(None, "rays"))
+
+
+def eval_mesh() -> Optional[Mesh]:
+    """The product evaluators' mesh: all local devices on the `rays` axis
+    (the feature grid replicates; rays/query points are embarrassingly
+    parallel, SURVEY.md §5.7), or None on a single device. The reference
+    gets its eval parallelism for free from DDP (reference
+    utils/base_evaluator.py:15, idist.auto_dataloader); ours comes from
+    sharding each frame's ray dimension so a v5e-8 renders ~8x faster than
+    one chip. BTS_EVAL_SHARD=0 disables (single-device eval)."""
+    import os
+    if os.environ.get("BTS_EVAL_SHARD", "1") != "1":
+        return None
+    if jax.device_count() <= 1:
+        return None
+    return make_mesh_2d(jax.devices(), data=1)

@@ -362,17 +362,34 @@ def render_rays(query_fn: Callable, rays, key, cfg: RendererConfig,
 
 def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
                         ray_chunk: int = 16384, remat_body: bool = False,
-                        **want) -> dict:
+                        mesh=None, **want) -> dict:
     """Full-frame rendering: sequential `lax.map` over ray chunks INSIDE one
     jit program — the TPU-native replacement for the reference's Python
     `eval_batch_size` loop (nerf.py:241-268). Bounds peak HBM for the
     ~8M-point per-frame query workload while keeping a single compiled
     computation; chunk size trades memory for MXU utilization.
 
+    mesh: optional (data, rays) Mesh — each chunk's ray axis is sharded
+    over the mesh's `rays` axis (the feature grid and params replicate),
+    so a full frame renders across every chip. `ray_chunk` then counts
+    rays PER DEVICE: the global chunk scales with the mesh so per-chip
+    memory and MXU batch stay as tuned for one chip.
+
     rays: (n, B, 8); returns the same dict as render_rays.
     """
+    constrain = None
+    if mesh is not None and mesh.shape.get("rays", 1) > 1:
+        from behindthescenes_tpu.parallel.mesh import ray_sharding
+        spec = ray_sharding(mesh)
+        ray_chunk = ray_chunk * mesh.shape["rays"]
+
+        def constrain(r):
+            return jax.lax.with_sharding_constraint(r, spec)
+
     n, b, _ = rays.shape
     if b <= ray_chunk:
+        if constrain is not None and b % mesh.shape["rays"] == 0:
+            rays = constrain(rays)
         return render_rays(query_fn, rays, key, cfg, **want)
     num_chunks = -(-b // ray_chunk)
     pad = num_chunks * ray_chunk - b
@@ -386,6 +403,8 @@ def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
 
     def body(args):
         idx, chunk_rays = args
+        if constrain is not None:
+            chunk_rays = constrain(chunk_rays)
         k = jax.random.fold_in(key, idx)
         return render_rays(query_fn, chunk_rays, k, cfg, **want)
 

@@ -60,20 +60,28 @@ def measure_torch_baseline():
         if out.returncode == 0 and m:
             live = float(m.group(1))
             ratio = live / TORCH_CPU_BASELINE_RAYS_PER_SEC
-            if ratio < 1 / 3 or ratio > 3:
+            if ratio < 1 / 2 or ratio > 2:
                 # The torch baseline is CPU-bound; a contended host (e.g.
                 # a test suite running alongside) silently deflates it and
-                # inflates vs_baseline. A >3x swing vs the stored constant
+                # inflates vs_baseline. A >2x swing vs the stored constant
                 # on the same workload means the measurement is suspect —
-                # keep the constant and record both.
+                # keep the constant and record both. (If the host has
+                # legitimately changed by >2x, re-measure the constant with
+                # scripts/bench_torch_baseline.py and update it.)
                 return TORCH_CPU_BASELINE_RAYS_PER_SEC, {
                     **host, "live_rays_per_sec_rejected": round(live, 1),
                     "method": "stored constant (live re-measure deviated "
                     f"{ratio:.2f}x from the 2026-08 constant — host "
                     "contention suspected); scripts/bench_torch_baseline.py"}
-            return live, {
+            prov = {
                 **host, "method": "scripts/bench_torch_baseline.py, "
                 "measured live this run (median of 3 frames, torch CPU)"}
+            if ratio < 1 / 1.3 or ratio > 1.3:
+                # Accepted, but flag the drift so a slow creep (or mild
+                # contention) is visible in the JSON record.
+                prov["warning"] = (f"live baseline deviates {ratio:.2f}x "
+                                   "from the stored 2026-08 constant")
+            return live, prov
     except Exception:                               # noqa: BLE001
         pass
     return TORCH_CPU_BASELINE_RAYS_PER_SEC, {
