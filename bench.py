@@ -151,7 +151,10 @@ def build(deterministic: bool):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     fn = jax.jit(render_n)
-    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1))
+    single = jax.jit(lambda v, im, pr, po, k: jnp.sum(
+        render_frame(v, im, pr, po, k)))
+    return fn, (variables, images, projs, poses, jax.random.PRNGKey(1)), \
+        single
 
 
 def bench_general_query():
@@ -238,19 +241,41 @@ def bench_train_step():
     return sps, desc
 
 
+def roofline_of(single_jit, args, t_seconds):
+    """MFU / HBM utilization of the timed program: XLA's own counted FLOPs
+    and bytes for the compiled single-frame fn vs the v5e peaks (197 TF/s
+    bf16 MXU, 819 GB/s HBM — scripts/roofline.py has the per-workload
+    breakdown). Guarded: cost_analysis availability varies by backend."""
+    try:
+        c = single_jit.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        fl = float(c.get("flops", 0.0))
+        by = float(c.get("bytes accessed", 0.0))
+        if fl <= 0 or t_seconds <= 0:
+            return None
+        return {"mfu_pct": round(100 * fl / t_seconds / 197e12, 2),
+                "hbm_pct": round(100 * by / t_seconds / 819e9, 2),
+                "gflop": round(fl / 1e9, 2), "gb_moved": round(by / 1e9, 3)}
+    except Exception:                               # noqa: BLE001
+        return None
+
+
 def main():
-    fn, args = build(deterministic=True)
+    fn, args, single = build(deterministic=True)
     t_frame = marginal_time(fn, args, 4, 34)
     rays_per_sec = H * W / t_frame
-    fn = args = None          # release HBM before the next bench
+    det_roofline = roofline_of(single, args[:5], t_frame)
+    fn = args = single = None  # release HBM before the next bench
 
     # Reference-semantics co-headline: stratified-jitter z sampling
     # (reference nerf.py:103-123) through the same pipeline, so the
     # headline is comparable to the reference's sampling at a glance.
-    fn, args = build(deterministic=False)
+    fn, args, single = build(deterministic=False)
     t_jit = marginal_time(fn, args, 4, 34)
     jittered_rays_per_sec = H * W / t_jit
-    fn = args = None
+    jit_roofline = roofline_of(single, args[:5], t_jit)
+    fn = args = single = None
 
     nvs_pts_per_sec = bench_general_query()
 
@@ -266,6 +291,10 @@ def main():
         "baseline_rays_per_sec": round(baseline_rps, 1),
         "baseline_provenance": baseline_prov,
     }
+    if det_roofline:
+        extra["mfu"] = {"deterministic_frame": det_roofline,
+                        "jittered_frame": jit_roofline,
+                        "peaks": "v5e 197 TF/s bf16, 819 GB/s HBM"}
     try:
         sps, desc = bench_train_step()
         extra["train_samples_per_sec"] = round(sps, 1)

@@ -40,10 +40,11 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 MODE = sys.argv[2] if len(sys.argv) > 2 else "kitti_raw"
 
 
-def measure(batch_size: int = 8, mode: str = "kitti_raw"):
-    """Marginal-timed train-step cost. Returns (ms_per_step,
-    samples_per_sec, desc). Importable (bench.py reports the flagship
-    shape as an extra metric)."""
+def build_step(batch_size: int = 8, mode: str = "kitti_raw"):
+    """Build the compiled train-step callable and its inputs for a bench
+    mode. Returns (step, state, batch, key, ids, train_enc, config, desc).
+    Shared by measure() below and scripts/roofline.py (which cost-analyzes
+    the same step it times)."""
     valid_modes = {"kitti_raw", "kitti_raw_fast", "k360", "re10k"}
     if mode not in valid_modes:
         # The mode ifs below are non-exclusive fall-throughs: a typo'd mode
@@ -112,6 +113,22 @@ def measure(batch_size: int = 8, mode: str = "kitti_raw"):
     step = trainer._build_train_step(cfg)
     train_enc = jnp.asarray(1.0)
 
+    rays = config["model_conf"]["ray_batch_size"]
+    smp = str(config["renderer"]["n_coarse"])
+    if config["renderer"].get("n_fine"):
+        smp += f"+{config['renderer']['n_fine']}f"
+    desc = (f"{mode}, batch {batch_size}, {n_views} views {H}x{W}, "
+            f"{rays} rays x {smp} smp, rn50 bf16")
+    return step, state, batch, key, ids, train_enc, config, desc
+
+
+def measure(batch_size: int = 8, mode: str = "kitti_raw"):
+    """Marginal-timed train-step cost. Returns (ms_per_step,
+    samples_per_sec, desc). Importable (bench.py reports the flagship
+    shape as an extra metric)."""
+    step, state, batch, key, ids, train_enc, config, desc = \
+        build_step(batch_size, mode)
+
     def run_n(state, batch, key, n):
         def body(i, carry):
             st, k = carry
@@ -136,12 +153,6 @@ def measure(batch_size: int = 8, mode: str = "kitti_raw"):
     ts = [(t(lo), t(hi)) for _ in range(4)]
     ms = (np.median([b for _, b in ts]) - np.median([a for a, _ in ts])) \
         / (int(hi) - int(lo)) * 1e3
-    rays = config["model_conf"]["ray_batch_size"]
-    smp = str(config["renderer"]["n_coarse"])
-    if config["renderer"].get("n_fine"):
-        smp += f"+{config['renderer']['n_fine']}f"
-    desc = (f"{mode}, batch {batch_size}, {n_views} views {H}x{W}, "
-            f"{rays} rays x {smp} smp, rn50 bf16")
     return ms, batch_size / (ms / 1e3), desc
 
 

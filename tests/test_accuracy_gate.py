@@ -68,18 +68,21 @@ def test_converged_synthetic_accuracy(bf16):
                        opt_state=None, step=jnp.asarray(8400))
 
     vals = {"abs_rel": [], "a1": []}
-    for i in range(4):
+    for i in range(8):
         batch = {k: jnp.asarray(v) for k, v in collate([test_ds[i]]).items()}
         out = trainer.eval_step(state, batch)
         for k in vals:
             vals[k].append(float(out["metrics"][k]))
     abs_rel = float(np.mean(vals["abs_rel"]))
     a1 = float(np.mean(vals["a1"]))
-    # Measured on this exact 4-scene subset: abs_rel 0.1720 / a1 0.7415
-    # (f32 and bf16 agree to 5e-4). Gates sit ~10% off the measured values
-    # so a 10% semantic regression fails, not just a 50% cliff.
-    assert abs_rel < 0.19, f"abs_rel regressed: {abs_rel} (measured 0.172)"
-    assert a1 > 0.72, f"a1 regressed: {a1} (measured 0.7415)"
+    # Measured on this exact 8-scene subset (round-4 widening,
+    # scripts/measure_gate_values.py depth 8): abs_rel 0.1889 / a1 0.6975
+    # — per-scene abs_rel 0.169/0.162/0.175/0.182/0.268/0.190/0.165/0.200
+    # (scene 4 is legitimately hard; the widened mean absorbs it). Gates
+    # sit ~10% off the measured values so a 10% semantic regression
+    # fails, not just a 50% cliff.
+    assert abs_rel < 0.21, f"abs_rel regressed: {abs_rel} (measured 0.189)"
+    assert a1 > 0.63, f"a1 regressed: {a1} (measured 0.6975)"
 
 
 @pytest.mark.skipif(not os.path.exists(ARTIFACT),
@@ -103,14 +106,15 @@ def test_converged_synthetic_nvs():
                                 "image_size": (48, 64), "data_fc": 2,
                                 "length": 64})
     psnrs, ssims = [], []
-    for i in range(2):
+    for i in range(4):
         batch = collate([test_ds[i]])
         out = ev.evaluate(variables, batch)
         psnrs.append(out["psnr"])
         ssims.append(out["ssim"])
-    # Measured on this exact 2-scene subset: PSNR 21.53 / SSIM 0.852.
-    assert np.mean(psnrs) > 20.8, f"NVS psnr regressed: {psnrs}"
-    assert np.mean(ssims) > 0.82, f"NVS ssim regressed: {ssims}"
+    # Measured on this exact 4-scene subset (round-4 widening): PSNR
+    # 20.84 / SSIM 0.836 (per-scene PSNR 23.52/19.55/19.45/20.83).
+    assert np.mean(psnrs) > 19.8, f"NVS psnr regressed: {psnrs}"
+    assert np.mean(ssims) > 0.80, f"NVS ssim regressed: {ssims}"
 
 
 @pytest.mark.skipif(not os.path.exists(ARTIFACT),

@@ -32,12 +32,13 @@ from behindthescenes_tpu.utils.io import load_params_npz
 ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "media", "weights",
                         "thin_synth_conv.npz")
 
-# Set from scripts/measure_gate_values.py on this exact 2-scene subset
-# with the committed checkpoint (PERF.md round-3 thin-structure sweep):
-# 8+8 importance 21.383 vs 16-flat 21.078 PSNR. Gated at a third of the
-# measured +0.305 margin so noise can't flip it but a broken importance
-# resampler (which would at best tie flat) fails.
-PSNR_MARGIN_MIN = 0.1
+# Set from scripts/measure_gate_values.py on this exact 4-scene subset
+# with the committed checkpoint (round-4 widening): 8+8 importance
+# 20.988 vs 16-flat 20.778 PSNR (+0.210 margin; the round-3 2-scene
+# subset measured +0.305). Gated at two-thirds of the measured margin so
+# sampler noise can't flip it but a broken importance resampler (which
+# would at best tie flat) fails.
+PSNR_MARGIN_MIN = 0.14
 
 
 def _model_conf():
@@ -62,7 +63,7 @@ def _dataset():
     return test_ds
 
 
-def _nvs_psnr(variables, n_coarse, n_fine, reuse, n_scenes=2):
+def _nvs_psnr(variables, n_coarse, n_fine, reuse, n_scenes=4):
     from behindthescenes_tpu import renderer as renderer_lib
     from behindthescenes_tpu.evaluation.nvs import NVSEvaluator
     from behindthescenes_tpu.models.bts import BTSNet

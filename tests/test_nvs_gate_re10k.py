@@ -28,12 +28,13 @@ from behindthescenes_tpu.utils.io import load_params_npz
 ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "media", "weights",
                         "re10k_synth_conv.npz")
 
-# Set from scripts/measure_gate_values.py on this exact 2-scene 64x96
-# subset with the committed checkpoint (PERF.md round-3): measured
-# PSNR 30.11 / SSIM 0.9245. Gates sit ~10% off measurement so a 10%
-# semantic regression fails, not just a cliff.
-PSNR_MIN = 27.0
-SSIM_MIN = 0.83
+# Set from scripts/measure_gate_values.py on this exact 4-scene 64x96
+# subset with the committed checkpoint (round-4 widening; per-scene PSNR
+# 29.77/30.44/31.10/29.64): measured PSNR 30.24 / SSIM 0.9202. Gates sit
+# ~10% off measurement so a 10% semantic regression fails, not just a
+# cliff, and the 4-scene mean is robust to a single-scene shift.
+PSNR_MIN = 27.2
+SSIM_MIN = 0.87
 
 
 def _model_conf():
@@ -69,7 +70,7 @@ def test_re10k_nvs_gate():
                                 "image_size": (64, 96), "data_fc": 3,
                                 "length": 96})
     psnrs, ssims = [], []
-    for i in range(2):
+    for i in range(4):
         out = ev.evaluate(variables, collate([test_ds[i]]))
         psnrs.append(float(out["psnr"]))
         ssims.append(float(out["ssim"]))

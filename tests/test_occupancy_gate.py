@@ -25,19 +25,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ARTIFACT = os.path.join(REPO, "media", "weights", "k360_synth_conv.npz")
-TREE = "/tmp/bts_gate_k360"
-N_FRAMES = 28          # 2 eval keyframes with the full 20-step LiDAR window
+TREE = "/tmp/bts_gate_k360_w4"
+N_FRAMES = 34          # 4 eval keyframes with the full 20-step LiDAR window
+KEYFRAMES = (2, 5, 8, 11)
 
-# Measured with the committed checkpoint on this exact 2-keyframe subset
-# (PERF.md round-3): o_acc 0.914, ie_prec 0.661, ie_rec 0.428. The same
+# Measured with the committed checkpoint on this exact 4-keyframe subset
+# (round-4 widening, scripts/measure_gate_values.py occ 4): o_acc 0.9175
+# (per-kf 0.903/0.925/0.921/0.921), ie_prec 0.648, ie_rec 0.441. The same
 # weights at random init score o_acc 0.168 / ie_rec 0.0 / ie_prec nan, so
 # these bounds separate converged occupancy semantics from broken ones by
-# a wide margin while sitting ~10-20% under the measured values. ie_acc
+# a wide margin while sitting ~10-15% under the measured values. ie_acc
 # is deliberately NOT gated: blanket-"occupied" scores 0.55 on it (most
 # invisible GT points are occupied), so it does not discriminate.
 O_ACC_MIN = 0.85
-IE_PREC_MIN = 0.50
-IE_REC_MIN = 0.35
+IE_PREC_MIN = 0.55
+IE_REC_MIN = 0.38
 
 
 @pytest.fixture(scope="module")
@@ -56,7 +58,7 @@ def gate_tree():
                        timeout=600)
         os.makedirs(os.path.join(TREE, "splits"), exist_ok=True)
         with open(os.path.join(TREE, "splits", "test_files.txt"), "w") as f:
-            f.write("drive_0001_sync 2 l\ndrive_0001_sync 5 l\n")
+            f.writelines(f"drive_0001_sync {k} l\n" for k in KEYFRAMES)
         open(marker, "w").write("ok")
     return TREE
 
@@ -104,7 +106,7 @@ def test_lidar_occupancy_gate(gate_tree):
     ev = LidarOccEvaluator(net, cfg, mc, ds)
 
     vals = {}
-    for i in range(2):
+    for i in range(len(KEYFRAMES)):
         out = ev.evaluate(variables, collate([ds[i]]))
         for k, v in out.items():
             vals.setdefault(k, []).append(float(v))
@@ -126,8 +128,14 @@ def test_bbox_occupancy_gate(gate_tree):
     cfg = rlib.RendererConfig(n_coarse=64, lindisp=True, hard_alpha_cap=True)
     ev = BBoxOccEvaluator(net, cfg, mc, ds)
 
-    # Measured with the committed checkpoint on this frame: o_acc 0.907,
-    # ie_rec 0.376 (untrained: 0.132 / 0.0015).
-    out = ev.evaluate(variables, collate([ds[0]]))
-    assert float(out["o_acc"]) > 0.80, dict(out)
-    assert float(out["ie_rec"]) > 0.30, dict(out)
+    # Measured with the committed checkpoint on this 2-frame subset
+    # (round-4 widening): o_acc 0.9155 (0.908/0.923), ie_rec 0.313
+    # (0.376/0.251); untrained scores 0.132 / 0.0015.
+    vals = {}
+    for i in range(2):
+        out = ev.evaluate(variables, collate([ds[i]]))
+        for k, v in out.items():
+            vals.setdefault(k, []).append(float(v))
+    means = {k: float(np.mean(v)) for k, v in vals.items()}
+    assert means["o_acc"] > 0.82, means
+    assert means["ie_rec"] > 0.25, means
