@@ -19,6 +19,11 @@ cd "$(dirname "$0")/.."
 CONFIG=$1; OUT=$2; TARGET=$3; SEG=${4:-2200}; shift $(( $# > 4 ? 4 : $# ))
 EXTRA=("$@")
 
+# Persistent compile cache: each segment is a fresh process, and big train
+# steps (e.g. the fine_reuse profile) can take many minutes to compile
+# through the relay — cache so only the first segment pays.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_tpu_cache}
+
 while true; do
   latest=$(ls "$OUT/checkpoints" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
   latest=${latest:-0}
