@@ -145,30 +145,17 @@ class BBoxOccEvaluator:
                 self.z_far, as_z_depth=True)
             return grid, depth
 
-        mesh = self.mesh
-        qbs = self.query_batch_size
-        if mesh is not None:
-            # query_batch_size is the per-device budget.
-            from behindthescenes_tpu.parallel.mesh import ray_sharding
-            point_spec = ray_sharding(mesh)             # (1, Q, 3) dim 1
-            qbs = qbs * mesh.shape["rays"]
+        from behindthescenes_tpu.parallel.mesh import sharded_point_query
 
         def query_density(variables, grid, pts):
-            n_chunks = -(-pts.shape[0] // qbs)
-            pad = n_chunks * qbs - pts.shape[0]
-            pts_p = jnp.pad(pts, [(0, pad), (0, 0)])
-            chunks = pts_p.reshape(n_chunks, 1, qbs, 3)
-
             def body(chunk):
-                if mesh is not None:
-                    chunk = jax.lax.with_sharding_constraint(chunk,
-                                                             point_spec)
                 _, _, sigma = net.apply(variables, grid, chunk,
                                         only_density=True,
                                         method=BTSNet.query)
                 return sigma[0, :, 0]
 
-            return jax.lax.map(body, chunks).reshape(-1)[:pts.shape[0]]
+            return sharded_point_query(self.mesh, self.query_batch_size,
+                                       body)(pts)
 
         return jax.jit(encode_and_depth), jax.jit(query_density)
 

@@ -542,10 +542,14 @@ class BTSNet(nn.Module):
                 jitter_kernel_enabled)
             if (jitter_kernel_enabled() and mlp.n_blocks == 0
                     and mlp.beta == 0 and mlp.d_latent == 0
-                    and pe.include_input):
+                    and pe.include_input
+                    and (mlp.dtype or x_static.dtype) == jnp.bfloat16):
                 # Fused Pallas path: posenc + lin_in + relu + lin_out in
                 # VMEM — removes ~3.9 ms/frame of HBM intermediates
                 # (PERF.md kernel index; BTS_JITTER_PALLAS=0 reverts).
+                # bf16-only: the kernel's matmuls are bf16, so an
+                # f32-configured model (bf16: false) must keep the jnp
+                # path's f32 numerics rather than silently downcast.
                 out = mlp.call_split_jitter(
                     x_static, coord, rows_static, rows_dyn,
                     n_freqs=pe.num_freqs, freq_factor=pe.freq_factor)

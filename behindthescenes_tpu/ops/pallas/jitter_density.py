@@ -54,14 +54,45 @@ from jax.experimental import pallas as pl
 def jitter_kernel_enabled() -> bool:
     """Whether the fused jitter-density kernel replaces the jnp path.
 
-    BTS_JITTER_PALLAS=1/0 forces it; unset, the default is ON for the TPU
-    backend (measured win — see PERF.md kernel index) and OFF elsewhere
-    (interpret mode is for parity tests only).
+    BTS_JITTER_PALLAS=1/0 (or true/false, on/off, yes/no) forces it;
+    unset, the default is ON for the TPU backend (measured win — see
+    PERF.md kernel index) and OFF elsewhere (interpret mode is for parity
+    tests only). Unrecognized values raise rather than silently inverting
+    the on-TPU default.
     """
     flag = os.environ.get("BTS_JITTER_PALLAS")
     if flag is not None:
-        return flag == "1"
+        low = flag.strip().lower()
+        if low in ("1", "true", "on", "yes"):
+            return True
+        if low in ("0", "false", "off", "no", ""):
+            return False
+        raise ValueError(f"BTS_JITTER_PALLAS={flag!r}: expected 1/0, "
+                         "true/false, on/off, or yes/no")
     return jax.default_backend() == "tpu"
+
+
+def kernel_cost(n_rays: int, k: int, hidden: int, n_freqs: int):
+    """(flops, bytes) of the kernel's fused scope, counted analytically —
+    XLA's cost_analysis scores a pallas custom-call at ZERO, so roofline
+    accounting (bench.py, scripts/roofline.py) must add this back for any
+    program that dispatches the kernel.
+
+    Per sample: the z positional code (1 + 2*n_freqs values, ~2 flops
+    each), the dynamic lin_in matmul (2 * code_dim * hidden), the
+    h_static + bias add and relu (2 * hidden), and the density-column
+    lin_out reduction (2 * hidden). Bytes: h_static in (f32), coord in,
+    logits out; weights are negligible."""
+    code_dim = 1 + 2 * n_freqs
+    per_sample = (2 * code_dim            # sin/cos + scale
+                  + 2 * code_dim * hidden  # dynamic matmul
+                  + 2 * hidden             # add + relu
+                  + 2 * hidden)            # lin_out dot
+    flops = n_rays * k * per_sample
+    bytes_ = 4 * (n_rays * hidden          # h_static (f32)
+                  + n_rays * k             # coord
+                  + n_rays * k)            # logits out
+    return float(flops), float(bytes_)
 
 
 KB = 8  # k-samples fused per MXU dot: 8*13 = 104 contraction rows <= 128,

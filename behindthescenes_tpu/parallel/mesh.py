@@ -90,6 +90,37 @@ def ray_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "rays"))
 
 
+def sharded_point_query(mesh: Optional[Mesh], query_batch_size: int,
+                        body):
+    """Build a chunked dense point query `(pts (P, 3)) -> (P,)` that
+    lax.maps `body((1, Q, 3) chunk) -> (Q,)` over padded chunks,
+    sharding each chunk's point axis over the mesh's `rays` axis when a
+    mesh is given (query_batch_size then counts points PER DEVICE).
+    Shared by the LiDAR/3dbb occupancy evaluators' density-grid queries."""
+    import jax.numpy as jnp
+    qbs = query_batch_size
+    point_spec = None
+    if mesh is not None:
+        point_spec = ray_sharding(mesh)                 # (1, Q, 3) dim 1
+        qbs = qbs * mesh.shape["rays"]
+
+    def query(pts):
+        n_chunks = -(-pts.shape[0] // qbs)
+        pad = n_chunks * qbs - pts.shape[0]
+        pts_p = jnp.pad(pts, [(0, pad), (0, 0)])
+        chunks = pts_p.reshape(n_chunks, 1, qbs, 3)
+
+        def chunk_body(chunk):
+            if point_spec is not None:
+                chunk = jax.lax.with_sharding_constraint(chunk, point_spec)
+            return body(chunk)
+
+        out = jax.lax.map(chunk_body, chunks)
+        return out.reshape(-1)[:pts.shape[0]]
+
+    return query
+
+
 def eval_mesh() -> Optional[Mesh]:
     """The product evaluators' mesh: all local devices on the `rays` axis
     (the feature grid replicates; rays/query points are embarrassingly

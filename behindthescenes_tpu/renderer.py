@@ -388,9 +388,24 @@ def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
 
     n, b, _ = rays.shape
     if b <= ray_chunk:
-        if constrain is not None and b % mesh.shape["rays"] == 0:
-            rays = constrain(rays)
-        return render_rays(query_fn, rays, key, cfg, **want)
+        if constrain is None:
+            return render_rays(query_fn, rays, key, cfg, **want)
+        # Pad the ray axis to a multiple of the mesh width so the
+        # constraint always applies — silently skipping it for
+        # non-divisible frame shapes would drop the whole multi-chip
+        # speedup for exactly those frames.
+        r_ax = mesh.shape["rays"]
+        pad = (-b) % r_ax
+        if pad:
+            rays_p = jnp.pad(rays, [(0, 0), (0, pad), (0, 0)])
+            rays_p = rays_p.at[:, b:, 6].set(rays[0, -1, 6])
+            rays_p = rays_p.at[:, b:, 7].set(rays[0, -1, 7])
+        else:
+            rays_p = rays
+        out = render_rays(query_fn, constrain(rays_p), key, cfg, **want)
+        if pad:
+            out = jax.tree_util.tree_map(lambda x: x[:, :b], out)
+        return out
     num_chunks = -(-b // ray_chunk)
     pad = num_chunks * ray_chunk - b
     rays_p = jnp.pad(rays, [(0, 0), (0, pad), (0, 0)])

@@ -91,27 +91,25 @@ def measure_torch_baseline():
 H, W = 192, 640
 N_COARSE = 64
 
+FLAGSHIP_MODEL_CONF = {
+    "z_near": 3.0, "z_far": 80.0, "inv_z": True, "code_mode": "z",
+    "learn_empty": False,
+    "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
+    "encoder": {"type": "monodepth2", "resnet_layers": 50,
+                "num_ch_dec": [32, 32, 64, 128, 256], "d_out": 64,
+                "scales": [0]},
+    "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
+    "mlp_fine": {"type": "empty"},
+}
 
-def build(deterministic: bool):
+
+def flagship_setup():
+    """The flagship inference workload's (net, variables, images, poses,
+    projs). Single source of truth for every headline bench
+    (scripts/roofline.py imports this so its MFU numbers describe the
+    same program the headline times)."""
     from behindthescenes_tpu.models.bts import BTSNet
-    from behindthescenes_tpu import renderer as renderer_lib
-    from behindthescenes_tpu.ray_sampler import ImageRaySampler
-
-    model_conf = {
-        "z_near": 3.0, "z_far": 80.0, "inv_z": True, "code_mode": "z",
-        "learn_empty": False,
-        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
-        "encoder": {"type": "monodepth2", "resnet_layers": 50,
-                    "num_ch_dec": [32, 32, 64, 128, 256], "d_out": 64,
-                    "scales": [0]},
-        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
-        "mlp_fine": {"type": "empty"},
-    }
-    net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
-    rcfg = renderer_lib.RendererConfig(
-        n_coarse=N_COARSE, n_fine=0, lindisp=True, hard_alpha_cap=True)
-    sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
-
+    net = BTSNet.from_conf(FLAGSHIP_MODEL_CONF, compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)),
                          dtype=jnp.float32)
@@ -120,9 +118,17 @@ def build(deterministic: bool):
     projs = jnp.broadcast_to(jnp.asarray(
         [[0.6, 0, 0], [0, 1.8, 0], [0, 0, 1]], dtype=jnp.float32),
         (1, 2, 3, 3))
-
     variables = net.init(jax.random.PRNGKey(0), images, projs, poses,
                          jnp.zeros((1, 8, 3)))
+    return net, variables, images, poses, projs
+
+
+def build(deterministic: bool):
+    from behindthescenes_tpu import renderer as renderer_lib
+
+    net, variables, images, poses, projs = flagship_setup()
+    rcfg = renderer_lib.RendererConfig(
+        n_coarse=N_COARSE, n_fine=0, lindisp=True, hard_alpha_cap=True)
 
     from behindthescenes_tpu.inference import render_depth_selfview
 
@@ -164,31 +170,13 @@ def bench_general_query():
     Measured in field-queries (points) per second at 245k points."""
     from behindthescenes_tpu.models.bts import BTSNet
 
-    model_conf = {
-        "z_near": 3.0, "z_far": 80.0, "inv_z": True, "code_mode": "z",
-        "learn_empty": False,
-        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
-        "encoder": {"type": "monodepth2", "resnet_layers": 50,
-                    "num_ch_dec": [32, 32, 64, 128, 256], "d_out": 64,
-                    "scales": [0]},
-        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
-        "mlp_fine": {"type": "empty"},
-    }
-    net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)),
-                         dtype=jnp.float32)
-    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)).at[:, 1, 0, 3].set(0.54)
-    projs = jnp.broadcast_to(jnp.asarray(
-        [[0.6, 0, 0], [0, 1.8, 0], [0, 0, 1]], dtype=jnp.float32),
-        (1, 2, 3, 3))
-    variables = net.init(jax.random.PRNGKey(0), images, projs, poses,
-                         jnp.zeros((1, 8, 3)))
+    net, variables, images, poses, projs = flagship_setup()
     grid = jax.jit(lambda v, im: net.apply(
         v, im, projs, poses, ids_encoder=[0], ids_render=[0, 1],
         method=BTSNet.encode))(variables, images)
 
     p = 245760
+    rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.uniform(-1, 1, (1, p, 3)) * np.array([8, 2, 1])
                       + np.array([0, 0, 12.0]), dtype=jnp.float32)
 
@@ -241,17 +229,20 @@ def bench_train_step():
     return sps, desc
 
 
-def roofline_of(single_jit, args, t_seconds):
+def roofline_of(single_jit, args, t_seconds, extra_cost=(0.0, 0.0)):
     """MFU / HBM utilization of the timed program: XLA's own counted FLOPs
     and bytes for the compiled single-frame fn vs the v5e peaks (197 TF/s
     bf16 MXU, 819 GB/s HBM — scripts/roofline.py has the per-workload
-    breakdown). Guarded: cost_analysis availability varies by backend."""
+    breakdown). extra_cost adds (flops, bytes) XLA cannot see — pallas
+    custom-calls score ZERO in cost_analysis, so programs that dispatch a
+    kernel pass its analytic cost (jitter_density.kernel_cost). Guarded:
+    cost_analysis availability varies by backend."""
     try:
         c = single_jit.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
-        fl = float(c.get("flops", 0.0))
-        by = float(c.get("bytes accessed", 0.0))
+        fl = float(c.get("flops", 0.0)) + extra_cost[0]
+        by = float(c.get("bytes accessed", 0.0)) + extra_cost[1]
         if fl <= 0 or t_seconds <= 0:
             return None
         return {"mfu_pct": round(100 * fl / t_seconds / 197e12, 2),
@@ -274,7 +265,11 @@ def main():
     fn, args, single = build(deterministic=False)
     t_jit = marginal_time(fn, args, 4, 34)
     jittered_rays_per_sec = H * W / t_jit
-    jit_roofline = roofline_of(single, args[:5], t_jit)
+    from behindthescenes_tpu.ops.pallas.jitter_density import (
+        jitter_kernel_enabled, kernel_cost)
+    kc = kernel_cost(H * W, N_COARSE, 64, 6) \
+        if jitter_kernel_enabled() else (0.0, 0.0)
+    jit_roofline = roofline_of(single, args[:5], t_jit, extra_cost=kc)
     fn = args = single = None
 
     nvs_pts_per_sec = bench_general_query()
@@ -291,10 +286,13 @@ def main():
         "baseline_rays_per_sec": round(baseline_rps, 1),
         "baseline_provenance": baseline_prov,
     }
-    if det_roofline:
-        extra["mfu"] = {"deterministic_frame": det_roofline,
-                        "jittered_frame": jit_roofline,
-                        "peaks": "v5e 197 TF/s bf16, 819 GB/s HBM"}
+    if det_roofline or jit_roofline:
+        mfu = {"peaks": "v5e 197 TF/s bf16, 819 GB/s HBM"}
+        if det_roofline:
+            mfu["deterministic_frame"] = det_roofline
+        if jit_roofline:
+            mfu["jittered_frame"] = jit_roofline
+        extra["mfu"] = mfu
     try:
         sps, desc = bench_train_step()
         extra["train_samples_per_sec"] = round(sps, 1)

@@ -8,26 +8,31 @@ gather envelope is the floor": a stage at 3% MXU and 80% HBM is
 bandwidth-bound, full stop; a stage at 3% MXU and 5% HBM has headroom
 somewhere else (dispatch, serialization, layout).
 
-Workloads (the PERF.md/BENCH headliners):
+Counting caveats (both corrected here):
+- pallas custom-calls score ZERO in cost_analysis — the jittered frame
+  adds the kernel's analytic cost (jitter_density.kernel_cost).
+- cost analysis runs on a single-shot program whose outputs must keep the
+  WHOLE computation live: the train-step probe reduces over every leaf of
+  the returned state (a single-leaf reduce lets XLA DCE the other
+  parameter updates and most of the backward pass — the CLAUDE.md
+  "force full reduces" trap at pytree level).
+
+Workloads (the PERF.md/BENCH headliners — model/inputs are imported from
+bench.py so these numbers describe the exact programs the headlines time):
   det_frame     full deterministic self-view depth frame (encode included)
   jit_frame     stratified-jitter frame, Pallas jitter kernel live on TPU
   general_query 245k-point cross-view query (NVS/training hot path)
   train_step    flagship KITTI train step (batch 8, 2048 rays x 64)
 
-Peaks: TPU v5e = 197 TF/s bf16 MXU, 819 GB/s HBM (public spec). The f32
-VPU peak is ~1/4 the bf16 MXU number; MFU below is vs the bf16 peak —
-honest for this bf16-compute model.
+Peaks: TPU v5e = 197 TF/s bf16 MXU, 819 GB/s HBM (public spec).
 
 Usage: python scripts/roofline.py [workload ...]   (default: all)
-       Prints a table + one JSON line (consumed nowhere; PERF.md records
-       the numbers).
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -42,67 +47,31 @@ apply_platform_env()
 import jax
 import jax.numpy as jnp
 
+from bench import H, W, N_COARSE, flagship_setup, marginal_time
+
 PEAK_TFLOPS = 197e12          # v5e bf16 MXU
 PEAK_HBM = 819e9              # v5e HBM GB/s
-H, W = 192, 640
-K = 64
 
 
-def cost_of(jitted, *args):
-    """(flops, bytes accessed) counted by XLA for the compiled program."""
+def cost_of(jitted, *args, extra=(0.0, 0.0)):
+    """(flops, bytes accessed) counted by XLA for the compiled program,
+    plus `extra` analytic (flops, bytes) XLA cannot see (pallas calls)."""
     c = jitted.lower(*args).compile().cost_analysis()
     if isinstance(c, (list, tuple)):
         c = c[0]
-    return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
-
-
-def marginal(fn_loop, args, lo, hi, reps=4):
-    jf = jax.jit(fn_loop)
-    lo_, hi_ = jnp.int32(lo), jnp.int32(hi)
-    float(jf(*args, lo_))
-    float(jf(*args, hi_))
-
-    def t(n):
-        t0 = time.perf_counter()
-        float(jf(*args, n))
-        return time.perf_counter() - t0
-
-    ts = [(t(lo_), t(hi_)) for _ in range(reps)]
-    return (float(np.median([b for _, b in ts]))
-            - float(np.median([a for a, _ in ts]))) / (hi - lo)
-
-
-def _flagship_inference_setup():
-    from behindthescenes_tpu.models.bts import BTSNet
-    model_conf = {
-        "z_near": 3.0, "z_far": 80.0, "inv_z": True, "code_mode": "z",
-        "learn_empty": False,
-        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
-        "encoder": {"type": "monodepth2", "resnet_layers": 50,
-                    "num_ch_dec": [32, 32, 64, 128, 256], "d_out": 64,
-                    "scales": [0]},
-        "mlp_coarse": {"type": "resnet", "n_blocks": 0, "d_hidden": 64},
-        "mlp_fine": {"type": "empty"},
-    }
-    net = BTSNet.from_conf(model_conf, compute_dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(-1, 1, (1, 2, H, W, 3)), jnp.float32)
-    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)) \
-        .at[:, 1, 0, 3].set(0.54)
-    projs = jnp.broadcast_to(jnp.asarray(
-        [[0.6, 0, 0], [0, 1.8, 0], [0, 0, 1]], jnp.float32), (1, 2, 3, 3))
-    variables = net.init(jax.random.PRNGKey(0), images, projs, poses,
-                         jnp.zeros((1, 8, 3)))
-    return net, variables, images, poses, projs
+    return (float(c.get("flops", 0.0)) + extra[0],
+            float(c.get("bytes accessed", 0.0)) + extra[1])
 
 
 def frame_workload(deterministic: bool):
     from behindthescenes_tpu import renderer as renderer_lib
     from behindthescenes_tpu.inference import render_depth_selfview
     from behindthescenes_tpu.models.bts import BTSNet
-    net, variables, images, poses, projs = _flagship_inference_setup()
-    rcfg = renderer_lib.RendererConfig(n_coarse=K, n_fine=0, lindisp=True,
-                                       hard_alpha_cap=True)
+    from behindthescenes_tpu.ops.pallas.jitter_density import (
+        jitter_kernel_enabled, kernel_cost)
+    net, variables, images, poses, projs = flagship_setup()
+    rcfg = renderer_lib.RendererConfig(n_coarse=N_COARSE, n_fine=0,
+                                       lindisp=True, hard_alpha_cap=True)
 
     def frame(variables, images, key):
         grid = net.apply(variables, images, projs, poses, ids_encoder=[0],
@@ -119,21 +88,23 @@ def frame_workload(deterministic: bool):
             return acc + jnp.sum(d) * 1e-12
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    single = jax.jit(frame)
     args = (variables, images, jax.random.PRNGKey(1))
-    t = marginal(loop, args, 4, 34)
-    fl, by = cost_of(single, *args)
+    t = marginal_time(jax.jit(loop), args, 4, 34)
+    extra = (0.0, 0.0)
+    if not deterministic and jitter_kernel_enabled():
+        extra = kernel_cost(H * W, N_COARSE, 64, 6)
+    fl, by = cost_of(jax.jit(frame), *args, extra=extra)
     return t, fl, by, f"{H * W} rays"
 
 
 def general_query_workload():
     from behindthescenes_tpu.models.bts import BTSNet
-    net, variables, images, poses, projs = _flagship_inference_setup()
+    net, variables, images, poses, projs = flagship_setup()
     grid = jax.jit(lambda v, im: net.apply(
         v, im, projs, poses, ids_encoder=[0], ids_render=[0, 1],
         method=BTSNet.encode))(variables, images)
     p = 245760
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.uniform(-1, 1, (1, p, 3)) * np.array([8, 2, 1])
                       + np.array([0, 0, 12.0]), jnp.float32)
 
@@ -147,7 +118,7 @@ def general_query_workload():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     args = (variables, grid, pts)
-    t = marginal(loop, args, 5, 65)
+    t = marginal_time(jax.jit(loop), args, 5, 65)
     fl, by = cost_of(jax.jit(query), *args)
     return t, fl, by, f"{p} pts"
 
@@ -157,9 +128,17 @@ def train_step_workload():
     step, state, batch, key, ids, train_enc, config, desc = build_step(
         8, "kitti_raw")
 
+    def _all_leaves_sum(tree):
+        # EVERY leaf stays live so cost analysis keeps the full backward
+        # pass + optimizer update (single-leaf reads get DCE'd).
+        return sum(jnp.sum(leaf.astype(jnp.float32))
+                   for leaf in jax.tree_util.tree_leaves(tree))
+
     def one(state, batch, key):
         st, _ = step(state, batch, key, ids, train_enc)
-        return jnp.sum(st.params["mlp_coarse"]["lin_in"]["kernel"])
+        return (_all_leaves_sum(st.params)
+                + _all_leaves_sum(st.opt_state)
+                + _all_leaves_sum(st.batch_stats))
 
     def loop(state, batch, key, n):
         def body(i, carry):
@@ -171,7 +150,7 @@ def train_step_workload():
         return jnp.sum(st.params["mlp_coarse"]["lin_in"]["kernel"])
 
     args = (state, batch, key)
-    t = marginal(loop, args, 3, 13)
+    t = marginal_time(jax.jit(loop), args, 3, 13)
     fl, by = cost_of(jax.jit(one), *args)
     return t, fl, by, "batch 8"
 
@@ -206,7 +185,7 @@ def main():
         print(f"{name:<15} {r['ms']:>8.3f} {r['gflop']:>8.2f} "
               f"{r['gb_moved']:>7.3f} {r['achieved_tflops']:>7.2f} "
               f"{r['mfu_pct']:>6.2f} {r['achieved_gbps']:>7.1f} "
-              f"{r['hbm_pct']:>6.2f}")
+              f"{r['hbm_pct']:>6.2f}", flush=True)
     print(json.dumps(rows))
 
 

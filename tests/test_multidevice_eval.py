@@ -103,6 +103,48 @@ def test_nvs_eval_sharded_matches_single_device(setup, monkeypatch):
 
 
 @needs_mesh
+def test_sharded_render_nondivisible_rays(setup):
+    """A frame whose ray count does not divide the mesh width must still
+    shard (the single-chunk branch pads to a multiple of the rays axis)
+    and must equal the unsharded render after stripping the padding."""
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.parallel.mesh import eval_mesh
+    from behindthescenes_tpu.ray_sampler import ImageRaySampler
+
+    net, mc, variables, batch = setup
+    mesh = eval_mesh()
+    assert mesh is not None and mesh.shape["rays"] == 8
+    h, w = 15, 21                                 # 315 rays, 315 % 8 = 3
+    sampler = ImageRaySampler(3.0, 80.0, height=h, width=w)
+    rcfg = renderer_lib.RendererConfig(n_coarse=8, lindisp=True,
+                                       hard_alpha_cap=True)
+    poses = jnp.asarray(batch["poses"])[:, :1]
+    projs = jnp.asarray(batch["projs"])[:, :1]
+    grid = net.apply(variables, jnp.asarray(batch["imgs"]),
+                     jnp.asarray(batch["projs"]),
+                     jnp.asarray(batch["poses"]), ids_encoder=[0],
+                     ids_render=[0], method=BTSNet.encode)
+    rays, _ = sampler.sample(None, None, poses, projs)
+    assert rays.shape[1] % 8 != 0
+
+    def query_fn(xyz, coarse):
+        return net.apply(variables, grid, xyz, coarse=coarse,
+                         method=BTSNet.query)
+
+    key = jax.random.PRNGKey(3)
+    out_m = jax.jit(lambda r: renderer_lib.render_rays_chunked(
+        query_fn, r, key, rcfg, ray_chunk=16384, mesh=mesh))(rays)
+    out_1 = jax.jit(lambda r: renderer_lib.render_rays_chunked(
+        query_fn, r, key, rcfg, ray_chunk=16384))(rays)
+    for branch in out_m:
+        for k in out_m[branch]:
+            a, b = np.asarray(out_m[branch][k]), np.asarray(out_1[branch][k])
+            assert a.shape == b.shape, (branch, k, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{branch}/{k}")
+
+
+@needs_mesh
 def test_occupancy_query_sharded_matches_single_device(setup, monkeypatch):
     """The dense density-grid query (LiDAR/3dbb occupancy evals) sharded
     over the mesh == unsharded, including the padded tail chunk."""

@@ -56,11 +56,18 @@ def test_kernel_matches_jnp_unpadded_vs_padded():
 
 def test_flag_is_consumed(monkeypatch):
     """jitter_kernel_enabled() must actually read BTS_JITTER_PALLAS."""
+    import pytest
     from behindthescenes_tpu.ops.pallas import jitter_density as jd
-    monkeypatch.setenv("BTS_JITTER_PALLAS", "1")
-    assert jd.jitter_kernel_enabled() is True
-    monkeypatch.setenv("BTS_JITTER_PALLAS", "0")
-    assert jd.jitter_kernel_enabled() is False
+    for val in ("1", "true", "ON", "yes"):
+        monkeypatch.setenv("BTS_JITTER_PALLAS", val)
+        assert jd.jitter_kernel_enabled() is True, val
+    for val in ("0", "false", "off", "NO"):
+        monkeypatch.setenv("BTS_JITTER_PALLAS", val)
+        assert jd.jitter_kernel_enabled() is False, val
+    # A typo must raise, not silently invert the on-TPU default.
+    monkeypatch.setenv("BTS_JITTER_PALLAS", "enabled")
+    with pytest.raises(ValueError):
+        jd.jitter_kernel_enabled()
 
 
 def test_module_path_parity(monkeypatch):
@@ -116,3 +123,17 @@ def test_module_path_parity(monkeypatch):
     assert calls["n"] == 1, "kernel path was not dispatched with flag on"
     np.testing.assert_allclose(np.asarray(on), np.asarray(ref),
                                atol=2e-2, rtol=3e-2)
+
+    # f32-configured models must NOT dispatch even with the flag forced:
+    # the kernel's matmuls are bf16, and silently downcasting an
+    # f32-numerics model (bf16: false) is a correctness gap — the jnp
+    # path keeps f32 (models/bts.py dispatch dtype gate).
+    net32 = BTSNet.from_conf(model_conf)          # compute_dtype=f32
+    variables32 = net32.init(jax.random.PRNGKey(0), images, projs, poses,
+                             jnp.zeros((1, 8, 3)))
+    grid32 = net32.apply(variables32, images, projs, poses, ids_encoder=[0],
+                         ids_render=[0], method=BTSNet.encode)
+    calls["n"] = 0
+    net32.apply(variables32, grid32, z_samp, scale=0, out_hw=(h, w),
+                method=BTSNet.query_selfview_density)
+    assert calls["n"] == 0, "f32 model dispatched the bf16 kernel"
