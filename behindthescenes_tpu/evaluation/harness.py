@@ -30,9 +30,19 @@ def load_eval_variables(config: dict, net, sample_batch):
         return template
 
     if os.path.isdir(path):
+        from behindthescenes_tpu.training.harness import CheckpointManager
+        norm = os.path.normpath(path)
+        base = os.path.basename(norm)
+        if base.isdigit() and os.path.isdir(os.path.join(norm, "default")):
+            # An explicit orbax STEP dir (…/checkpoints/15000): restore
+            # that exact step from the enclosing run dir.
+            mgr = CheckpointManager(os.path.dirname(norm))
+            restored = mgr.restore_replicated(step=int(base))
+            log.info("restored checkpoint step %s from %s", base, norm)
+            return {"params": restored["params"],
+                    "batch_stats": restored.get("batch_stats", {})}
         candidates = sorted(glob.glob(os.path.join(path, "checkpoints")))
         ckpt_dir = candidates[0] if candidates else path
-        from behindthescenes_tpu.training.harness import CheckpointManager
         mgr = CheckpointManager(ckpt_dir)
         restored = mgr.restore_replicated()
         log.info("restored checkpoint step %s from %s", mgr.latest_step(),

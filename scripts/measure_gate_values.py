@@ -179,12 +179,12 @@ def measure_occ(n_keyframes=4):
                      for k, v in sorted(vals2.items())), flush=True)
 
 
-def measure_fast(n_scenes=3):
+def measure_fast(n_scenes=4):
     """The tests/test_train_fast_gate.py subset — runs the test's own
     evaluation so the measured values match the gate exactly."""
     from tests.test_train_fast_gate import evaluate_depth
     means, per_scene = evaluate_depth(n_scenes=n_scenes)
-    print(f"fast-profile gate ({n_scenes} scenes, 96x320): "
+    print(f"fast-profile gate ({n_scenes} scenes, 192x640): "
           f"abs_rel={means['abs_rel']:.4f} {per_scene['abs_rel']} "
           f"a1={means['a1']:.4f} {per_scene['a1']}", flush=True)
 

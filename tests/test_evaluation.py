@@ -85,3 +85,47 @@ def test_nvs_evaluator_synthetic():
     out = ev.evaluate(variables, batch)
     assert set(out) == {"psnr", "ssim"}
     assert np.isfinite(list(out.values())).all()
+
+
+def test_load_eval_variables_resolves_run_step_and_npz(tmp_path):
+    """The eval CLI's checkpoint resolver accepts an orbax RUN dir, an
+    explicit STEP dir (…/checkpoints/15000 — regression: this path was
+    documented but crashed in restore_replicated), and an .npz export —
+    all returning the same params."""
+    from behindthescenes_tpu.evaluation.harness import load_eval_variables
+    from behindthescenes_tpu.training.harness import CheckpointManager
+    from behindthescenes_tpu.training.trainer import TrainState
+    from behindthescenes_tpu.utils.io import save_params_npz
+
+    h, w = 24, 32
+    ds = SyntheticBoxDataset(length=1, frame_count=2, height=h, width=w)
+    batch = collate([ds[0]])
+    net = _tiny_net(h, w)
+    variables = net.init(jax.random.PRNGKey(3),
+                         jnp.asarray(batch["imgs"]),
+                         jnp.asarray(batch["projs"]),
+                         jnp.asarray(batch["poses"]),
+                         jnp.zeros((1, 8, 3)))
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=None, step=jnp.asarray(7))
+    run_dir = tmp_path / "run"
+    CheckpointManager(str(run_dir / "checkpoints")).save(7, state)
+    npz = tmp_path / "w.npz"
+    save_params_npz(str(npz), {"params": variables["params"],
+                               "batch_stats":
+                                   variables.get("batch_stats", {})})
+
+    ref = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in
+           jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    for path in (str(run_dir), str(run_dir / "checkpoints"),
+                 str(run_dir / "checkpoints" / "7"), str(npz)):
+        out = load_eval_variables({"checkpoint": path}, net, batch)
+        got = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in
+               jax.tree_util.tree_flatten_with_path(out["params"])[0]}
+        assert set(got) == set(ref), (path, set(got) ^ set(ref))
+        for k in ref:
+            # npz exports are f16 (save_params_npz), so tolerance sits at
+            # f16 quantization; orbax restores are exact well inside it.
+            np.testing.assert_allclose(got[k], ref[k], atol=2e-3,
+                                       err_msg=f"{path}: {k}")
