@@ -101,13 +101,20 @@ KB = 8  # k-samples fused per MXU dot: 8*13 = 104 contraction rows <= 128,
 
 
 def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
-            b_out_ref, out_ref, *, n_freqs: int, freq_factor: float):
+            b_out_ref, out_ref, *, n_freqs: int, freq_factor: float,
+            vpu_proj: bool = False):
     hs_stack = jnp.concatenate([hsT_ref[...]] * KB, axis=0) \
         .astype(jnp.float32)                            # (KB*H, T)
     wd_bd = wdbd_ref[...].astype(jnp.bfloat16)          # (KB*H, KB*13)
     b_in = b_in_ref[...].astype(jnp.float32)            # (KB*H, 1)
     w_out_bd = w_out_bd_ref[...].astype(jnp.bfloat16)   # (KB, KB*H)
     b_out = b_out_ref[...].astype(jnp.float32)          # (1, 1)
+    h = hsT_ref.shape[0]
+    if vpu_proj:
+        # Tiled (KB*H, 1) out-weight column for the VPU projection: sum
+        # the block-diagonal's rows (each column has one nonzero).
+        w_out_t = jnp.sum(w_out_bd_ref[...].astype(jnp.float32),
+                          axis=0).reshape(KB * h, 1)
     freqs = [float(freq_factor * 2.0 ** i) for i in range(n_freqs)]
     k_total = out_ref.shape[0]
 
@@ -122,10 +129,20 @@ def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
             wd_bd, code.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (KB*H, T)
-        x = jnp.maximum(hd + hs_stack + b_in, 0.0).astype(jnp.bfloat16)
-        o = jax.lax.dot_general(
-            w_out_bd, x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (KB, T)
+        if vpu_proj:
+            # Projection as a VPU segment-reduce fused with the relu
+            # pass: drops the (KB,KB*H)x(KB*H,T) MXU dot (32 passes per
+            # iteration — as many as the code matmul; see PERF.md).
+            xw = jnp.maximum(hd + hs_stack + b_in, 0.0) * w_out_t
+            o = jnp.concatenate(
+                [jnp.sum(xw[kk * h:(kk + 1) * h, :], axis=0,
+                         keepdims=True) for kk in range(KB)], axis=0)
+        else:
+            x = jnp.maximum(hd + hs_stack + b_in, 0.0) \
+                .astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                w_out_bd, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (KB, T)
         out_ref[pl.dslice(g * KB, KB), :] = o + b_out
         return carry
 
@@ -160,10 +177,11 @@ def interleave_to_grouped(n_freqs: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_freqs", "freq_factor", "block", "interpret"))
+    "n_freqs", "freq_factor", "block", "interpret", "vpu_proj"))
 def jitter_density_pallas(coord, h_static, w_d, b_in, w_out_col, b_out,
                           *, n_freqs: int, freq_factor: float,
-                          block: int = 1024, interpret: bool = False):
+                          block: int = 1024, interpret: bool = False,
+                          vpu_proj: bool = False):
     """Fused density logits for per-ray z codes.
 
     coord: (B, K) f32 normalized z code input in [-1, 1] (B rays, K samples)
@@ -198,7 +216,7 @@ def jitter_density_pallas(coord, h_static, w_d, b_in, w_out_col, b_out,
     hsT = jnp.pad(h_static, ((0, padded - b), (0, 0))).T       # (H, Bp)
     out = pl.pallas_call(
         functools.partial(_kernel, n_freqs=n_freqs,
-                          freq_factor=freq_factor),
+                          freq_factor=freq_factor, vpu_proj=vpu_proj),
         grid=(padded // block,),
         in_specs=[
             pl.BlockSpec((kp, block), lambda i: (0, i)),

@@ -196,6 +196,7 @@ def main():
             coord_of(z + salt), hs, w_d, b_in, w_out_col, b_out[0],
             n_freqs=6, freq_factor=1.5,
             block=int(os.environ.get("BTS_JITTER_BLOCK", 1024)),
+            vpu_proj=os.environ.get("BTS_JITTER_VPU_PROJ") == "1",
             interpret=jax.default_backend() != "tpu")
         return jnp.sum(jax.nn.softplus(logits)) * 1e-9
 

@@ -42,6 +42,26 @@ def test_kernel_matches_jnp():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_kernel_matches_jnp_vpu_proj_variant():
+    """The VPU segment-reduce projection variant (vpu_proj=True —
+    measured on chip: a wash vs the MXU dot, kept as a parity-tested
+    alternative; PERF.md kernel index) must match the jnp reference."""
+    rng = np.random.default_rng(5)
+    B, K, H = 513, 16, 64
+    coord = jnp.asarray(rng.uniform(-1, 1, (B, K)), jnp.float32)
+    hs = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    wd = jnp.asarray(rng.normal(size=(13, H)) * 0.3, jnp.float32)
+    b_in = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.normal(size=(H, 1)) * 0.3, jnp.float32)
+    ref = jitter_density_jnp(coord, hs, wd, b_in, w_out, 0.2,
+                             n_freqs=N_FREQS, freq_factor=FREQ_FACTOR)
+    out = jitter_density_pallas(coord, hs, wd, b_in, w_out, 0.2,
+                                n_freqs=N_FREQS, freq_factor=FREQ_FACTOR,
+                                interpret=True, vpu_proj=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_kernel_matches_jnp_unpadded_vs_padded():
     # B not a multiple of the block: the pad/slice must not leak.
     args = _rand_inputs(b=500, k=8)
