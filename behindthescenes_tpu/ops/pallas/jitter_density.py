@@ -60,15 +60,9 @@ def jitter_kernel_enabled() -> bool:
     tests only). Unrecognized values raise rather than silently inverting
     the on-TPU default.
     """
-    flag = os.environ.get("BTS_JITTER_PALLAS")
-    if flag is not None:
-        low = flag.strip().lower()
-        if low in ("1", "true", "on", "yes"):
-            return True
-        if low in ("0", "false", "off", "no", ""):
-            return False
-        raise ValueError(f"BTS_JITTER_PALLAS={flag!r}: expected 1/0, "
-                         "true/false, on/off, or yes/no")
+    from behindthescenes_tpu.platform import bool_env
+    if os.environ.get("BTS_JITTER_PALLAS") is not None:
+        return bool_env("BTS_JITTER_PALLAS", False)
     return jax.default_backend() == "tpu"
 
 
@@ -81,17 +75,18 @@ def kernel_cost(n_rays: int, k: int, hidden: int, n_freqs: int):
     Per sample: the z positional code (1 + 2*n_freqs values, ~2 flops
     each), the dynamic lin_in matmul (2 * code_dim * hidden), the
     h_static + bias add and relu (2 * hidden), and the density-column
-    lin_out reduction (2 * hidden). Bytes: h_static in (f32), coord in,
-    logits out; weights are negligible."""
+    lin_out reduction (2 * hidden). Bytes: h_static in (bf16 — the caller
+    casts it at the pallas_call, jitter_density_pallas below), f32 coord
+    in, f32 logits out; weights are negligible."""
     code_dim = 1 + 2 * n_freqs
     per_sample = (2 * code_dim            # sin/cos + scale
                   + 2 * code_dim * hidden  # dynamic matmul
                   + 2 * hidden             # add + relu
                   + 2 * hidden)            # lin_out dot
     flops = n_rays * k * per_sample
-    bytes_ = 4 * (n_rays * hidden          # h_static (f32)
-                  + n_rays * k             # coord
-                  + n_rays * k)            # logits out
+    bytes_ = (2 * n_rays * hidden          # h_static (bf16 as transferred)
+              + 4 * n_rays * k             # coord (f32)
+              + 4 * n_rays * k)            # logits out (f32)
     return float(flops), float(bytes_)
 
 
@@ -109,8 +104,8 @@ def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
     b_in = b_in_ref[...].astype(jnp.float32)            # (KB*H, 1)
     w_out_bd = w_out_bd_ref[...].astype(jnp.bfloat16)   # (KB, KB*H)
     b_out = b_out_ref[...].astype(jnp.float32)          # (1, 1)
-    h = hsT_ref.shape[0]
     if vpu_proj:
+        h = hsT_ref.shape[0]
         # Tiled (KB*H, 1) out-weight column for the VPU projection: sum
         # the block-diagonal's rows (each column has one nonzero).
         w_out_t = jnp.sum(w_out_bd_ref[...].astype(jnp.float32),

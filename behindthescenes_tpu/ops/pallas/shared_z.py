@@ -90,8 +90,8 @@ def shared_z_tail(hs: jnp.ndarray, hd: jnp.ndarray, w_out: jnp.ndarray,
     Uses the fused Pallas kernel for D == 1 (the density decode); general
     D falls back to the jnp formulation.
     """
-    if (w_out.shape[1] != 1
-            or os.environ.get("BTS_SHARED_Z_PALLAS", "0") != "1"):
+    from behindthescenes_tpu.platform import bool_env
+    if w_out.shape[1] != 1 or not bool_env("BTS_SHARED_Z_PALLAS", False):
         return shared_z_tail_jnp(hs, hd, w_out, b_out)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

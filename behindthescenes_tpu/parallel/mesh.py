@@ -129,8 +129,8 @@ def eval_mesh() -> Optional[Mesh]:
     utils/base_evaluator.py:15, idist.auto_dataloader); ours comes from
     sharding each frame's ray dimension so a v5e-8 renders ~8x faster than
     one chip. BTS_EVAL_SHARD=0 disables (single-device eval)."""
-    import os
-    if os.environ.get("BTS_EVAL_SHARD", "1") != "1":
+    from behindthescenes_tpu.platform import bool_env
+    if not bool_env("BTS_EVAL_SHARD", True):
         return None
     if jax.device_count() <= 1:
         return None

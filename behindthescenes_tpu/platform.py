@@ -11,6 +11,24 @@ from __future__ import annotations
 import os
 
 
+def bool_env(name: str, default: bool) -> bool:
+    """Strict truthy/falsy env-flag parser shared by all BTS_* toggles.
+
+    Unrecognized values raise instead of silently inverting the default
+    (a typo like BTS_EVAL_SHARD=true must not turn multi-device eval off).
+    """
+    flag = os.environ.get(name)
+    if flag is None:
+        return default
+    low = flag.strip().lower()
+    if low in ("1", "true", "on", "yes"):
+        return True
+    if low in ("0", "false", "off", "no", ""):
+        return False
+    raise ValueError(f"{name}={flag!r}: expected 1/0, true/false, on/off, "
+                     "or yes/no")
+
+
 def apply_platform_env():
     import jax
     plat = os.environ.get("JAX_PLATFORMS")

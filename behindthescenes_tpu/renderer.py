@@ -398,8 +398,9 @@ def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
         pad = (-b) % r_ax
         if pad:
             rays_p = jnp.pad(rays, [(0, 0), (0, pad), (0, 0)])
-            rays_p = rays_p.at[:, b:, 6].set(rays[0, -1, 6])
-            rays_p = rays_p.at[:, b:, 7].set(rays[0, -1, 7])
+            # Padded rays stay renderable with each batch entry's own
+            # near/far (their outputs are sliced off below regardless).
+            rays_p = rays_p.at[:, b:, 6:8].set(rays[:, -1:, 6:8])
         else:
             rays_p = rays
         out = render_rays(query_fn, constrain(rays_p), key, cfg, **want)
@@ -410,9 +411,9 @@ def render_rays_chunked(query_fn: Callable, rays, key, cfg: RendererConfig,
     pad = num_chunks * ray_chunk - b
     rays_p = jnp.pad(rays, [(0, 0), (0, pad), (0, 0)])
     if pad:
-        # Padded rays must stay renderable: give them the last ray's bounds.
-        rays_p = rays_p.at[:, b:, 6].set(rays[0, -1, 6])
-        rays_p = rays_p.at[:, b:, 7].set(rays[0, -1, 7])
+        # Padded rays must stay renderable: give them each batch entry's
+        # own last-ray bounds (outputs for them are sliced off below).
+        rays_p = rays_p.at[:, b:, 6:8].set(rays[:, -1:, 6:8])
     chunks = rays_p.reshape(n, num_chunks, ray_chunk, 8)
     chunks = jnp.moveaxis(chunks, 1, 0)  # (C, n, chunk, 8)
 

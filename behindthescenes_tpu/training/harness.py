@@ -140,6 +140,13 @@ class CheckpointManager:
         mesh must load on 1 chip and vice versa)."""
         step = step if step is not None else self.manager.latest_step()
         item_dir = os.path.join(self.directory, str(step), "default")
+        if not os.path.isdir(item_dir):
+            # Tolerate non-canonical step dir names (e.g. zero-padded
+            # "0015000"): match on integer value against the real listing.
+            for d in sorted(os.listdir(self.directory)):
+                if d.isdigit() and int(d) == int(step):
+                    item_dir = os.path.join(self.directory, d, "default")
+                    break
         ckptr = ocp.StandardCheckpointer()
         meta = ckptr.metadata(item_dir)
         tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") \
