@@ -189,11 +189,30 @@ def measure_fast(n_scenes=4):
           f"a1={means['a1']:.4f} {per_scene['a1']}", flush=True)
 
 
+def measure_fast_nvs(n_scenes=4, image_size=(96, 320)):
+    """The tests/test_train_fast_gate.py NVS-serving subset: the fast
+    artifact evaluated at the SHIPPED eval_synthetic_flagship_nvs profile
+    (24 coarse + 16 fine, fine_reuse_coarse — the repo's best NVS
+    configuration, PERF.md) at reduced resolution so CI runs it."""
+    from behindthescenes_tpu.utils.io import load_params_npz
+    from tests.test_train_fast_gate import _model_conf
+    variables = load_params_npz(
+        os.path.join(WEIGHTS, "flagship_fast_conv.npz"))
+    psnr, ssim, psnrs, ssims = _eval_nvs(
+        variables, _model_conf(),
+        {"type": "Synthetic", "image_size": list(image_size), "data_fc": 2,
+         "length": 64}, 24, 16, True, n_scenes=n_scenes)
+    print(f"fast-profile NVS gate ({n_scenes} scenes, {image_size}): "
+          f"psnr={psnr:.3f} {psnrs} ssim={ssim:.4f} {ssims}", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     if which == "fast":
         measure_fast(n or 3)
+    if which == "fast_nvs":
+        measure_fast_nvs(n or 4)
     if which in ("re10k", "all"):
         measure_re10k(n or 2)
     if which in ("thin", "all"):

@@ -141,7 +141,7 @@ def test_depth_eval_selfview_matches_general():
     _, test_ds = make_datasets({"type": "Synthetic",
                                 "image_size": (48, 64), "data_fc": 2,
                                 "length": 64})
-    for i in range(2):
+    for i in range(4):
         batch = collate([test_ds[i]])
         m_fast = ev_fast.evaluate(variables, batch)
         m_gen = ev_gen.evaluate(variables, batch)
@@ -195,7 +195,7 @@ def test_depth_eval_selfview_matches_general_distance_mode():
     from behindthescenes_tpu.datasets.factory import make_datasets as _mk
     _, test_ds = _mk({"type": "Synthetic", "scene": "indoor",
                       "image_size": (64, 96), "data_fc": 3, "length": 96})
-    for i in range(2):
+    for i in range(4):
         batch = collate([test_ds[i]])
         m_fast = ev_auto.evaluate(variables, batch)
         m_gen = ev_gen.evaluate(variables, batch)

