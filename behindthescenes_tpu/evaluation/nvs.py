@@ -33,6 +33,14 @@ class NVSEvaluator:
         self.z_far = config["z_far"]
         self.eval_resolution = tuple(eval_resolution) if eval_resolution \
             else None
+        # Sweep-mode serving (models/sweep.py): deterministic shared
+        # z-ladder + per-plane dense warp fetch instead of per-sample
+        # gathers. Configured via model_conf.nvs_sweep: true (defaults) or
+        # a dict {warp_scale, color_mode, top_m, mlp_at_warp}.
+        sweep_conf = config.get("nvs_sweep")
+        if sweep_conf is True:
+            sweep_conf = {}
+        self.sweep_conf = dict(sweep_conf) if sweep_conf else None
         self.lpips = M.LPIPSVGG.maybe_create(lpips_weights)
         # Ray-shard full-frame renders over every local device (see
         # DepthEvaluator; equivalence in tests/test_multidevice_eval.py).
@@ -41,23 +49,27 @@ class NVSEvaluator:
         self._render = None
         self._shape = None
 
-    def _build_render(self, h, w):
+    def _build_render(self, h, w, v):
         sampler = ImageRaySampler(self.z_near, self.z_far, height=h, width=w)
         net = self.net
         cfg = self.cfg
         er = self.eval_resolution
+        sweep_conf = self.sweep_conf
 
-        def render(variables, images, projs, poses, key):
-            poses_r = geometry.rebase_poses_to_keyframe(poses)
+        def encode(variables, images, projs, poses_r):
             enc_images = images
             if er is not None:
                 ys = (jnp.arange(er[0]) * (h / er[0])).astype(jnp.int32)
                 xs = (jnp.arange(er[1]) * (w / er[1])).astype(jnp.int32)
                 enc_images = images[:, :, ys][:, :, :, xs]
-            grid = net.apply(variables, enc_images, projs, poses_r,
+            return net.apply(variables, enc_images, projs, poses_r,
                              ids_encoder=[0], ids_render=[0],
                              images_alt=images[:, :1] * 0.5 + 0.5,
                              method=BTSNet.encode)
+
+        def render(variables, images, projs, poses, key):
+            poses_r = geometry.rebase_poses_to_keyframe(poses)
+            grid = encode(variables, images, projs, poses_r)
             rays, _ = sampler.sample(None, None, poses_r, projs)
 
             def query_fn(xyz, coarse):
@@ -71,15 +83,28 @@ class NVSEvaluator:
                            "fine": out.get("fine", dict(out["coarse"]))}
             return sampler.reconstruct(render_dict)
 
-        return jax.jit(render)
+        def render_sweep(variables, images, projs, poses, key):
+            from behindthescenes_tpu.models.sweep import render_frame_sweep
+            poses_r = geometry.rebase_poses_to_keyframe(poses)
+            grid = encode(variables, images, projs, poses_r)
+            rgbs = []
+            for vi in range(v):
+                out = render_frame_sweep(
+                    net, variables, grid, poses_r[0, vi], projs[0, vi],
+                    (h, w), cfg, **sweep_conf)
+                rgbs.append(out["fine"]["rgb"][0])             # (HW, 3)
+            rgb = jnp.stack(rgbs).reshape(1, v, h, w, 1, 3)
+            return {"coarse": {"rgb": rgb}, "fine": {"rgb": rgb}}
+
+        return jax.jit(render_sweep if sweep_conf is not None else render)
 
     def evaluate(self, variables, batch, key=None) -> dict:
         key = key if key is not None else jax.random.PRNGKey(0)
         images = jnp.asarray(batch["imgs"])
         n, v, h, w, _ = images.shape
-        if self._render is None or self._shape != (h, w):
-            self._render = self._build_render(h, w)
-            self._shape = (h, w)
+        if self._render is None or self._shape != (h, w, v):
+            self._render = self._build_render(h, w, v)
+            self._shape = (h, w, v)
         rd = self._render(variables, images, jnp.asarray(batch["projs"]),
                           jnp.asarray(batch["poses"]), key)
 

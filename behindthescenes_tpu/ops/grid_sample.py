@@ -220,14 +220,21 @@ def grid_sample_2d_packed(packed: jnp.ndarray, coords: jnp.ndarray, *,
     return top * (1 - wy1) + bot * wy1
 
 
-def _lattice_matrix(out_size: int, in_size: int) -> "np.ndarray":
+def _lattice_matrix(out_size: int, in_size: int,
+                    align_corners: bool = False) -> "np.ndarray":
     """(out_size, in_size) bilinear-resample matrix for the uniform
-    linspace(-1, 1, out_size) lattice under align_corners=False + border
-    padding — the 1-D factor of what grid_sample_2d computes on that
-    lattice."""
+    linspace(-1, 1, out_size) lattice under border padding — the 1-D
+    factor of what grid_sample_2d computes on that lattice.
+
+    align_corners=False (default): input texel centers follow the
+    grid_sample convention (texel i at NDC (2i+1)/in - 1). True: input
+    values live AT linspace(-1, 1, in_size) inclusive — the convention for
+    values computed on an NDC pixel lattice (geometry.unproj_map), used by
+    the sweep renderer to interpolate warp-lattice values to render
+    resolution."""
     import numpy as np
     x = np.linspace(-1.0, 1.0, out_size, dtype=np.float64)
-    u = ((x + 1.0) * in_size - 1.0) * 0.5          # _unnormalize
+    u = _unnormalize(x, in_size, align_corners)
     u = np.clip(u, 0.0, in_size - 1)               # border
     i0 = np.floor(u).astype(np.int64)
     f = (u - i0).astype(np.float64)
@@ -238,10 +245,11 @@ def _lattice_matrix(out_size: int, in_size: int) -> "np.ndarray":
     return mat
 
 
-def resample_uniform_lattice(image: jnp.ndarray, out_hw) -> jnp.ndarray:
+def resample_uniform_lattice(image: jnp.ndarray, out_hw,
+                             align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resample of `image` onto the uniform linspace(-1, 1)
     lattice — numerically the separable form of
-    grid_sample_2d(image, lattice, align_corners=False, "border").
+    grid_sample_2d(image, lattice, align_corners, "border").
 
     The lattice is static, so the resample factors into two small banded
     matmuls (rows then columns) that run on the MXU instead of 4 gather
@@ -255,8 +263,10 @@ def resample_uniform_lattice(image: jnp.ndarray, out_hw) -> jnp.ndarray:
     """
     h, w, _ = image.shape
     oh, ow = out_hw
-    ry = jnp.asarray(_lattice_matrix(oh, h), dtype=image.dtype)
-    rx = jnp.asarray(_lattice_matrix(ow, w), dtype=image.dtype)
+    ry = jnp.asarray(_lattice_matrix(oh, h, align_corners),
+                     dtype=image.dtype)
+    rx = jnp.asarray(_lattice_matrix(ow, w, align_corners),
+                     dtype=image.dtype)
     out = jnp.einsum("oh,hwc->owc", ry, image)
     out = jnp.einsum("pw,owc->opc", rx, out)
     return out.astype(image.dtype)

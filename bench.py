@@ -35,6 +35,14 @@ import jax.numpy as jnp
 # the live run fails, and the JSON says so.
 TORCH_CPU_BASELINE_RAYS_PER_SEC = 23577.0
 
+# Fallback samples/sec of the REFERENCE training step run live on this
+# host's CPU (scripts/bench_torch_train_baseline.py — the actual
+# /root/reference modules: encode + 2048-ray render + ReconstructionLoss
+# backward + Adam at the flagship KITTI shape, batch 1, median of 3;
+# measured 2026-08). Anchors `train_vs_baseline`; BASELINE.md's counted-op
+# A40/A100 table gives the hardware-honest multiple.
+TORCH_CPU_TRAIN_BASELINE_SAMPLES_PER_SEC = 0.345
+
 
 def measure_torch_baseline():
     """Re-measure the vs_baseline denominator on THIS host, in a
@@ -87,6 +95,45 @@ def measure_torch_baseline():
     return TORCH_CPU_BASELINE_RAYS_PER_SEC, {
         **host, "method": "STALE constant (live re-measure failed); "
         "scripts/bench_torch_baseline.py, 2026-08"}
+
+
+def measure_torch_train_baseline():
+    """Live re-measure of the reference TRAIN-step denominator (the actual
+    /root/reference modules on this host's CPU, subprocess). Returns
+    (samples_per_sec, provenance_dict); same contention guard as the
+    render baseline."""
+    import re
+    import subprocess
+    import sys
+    stored = TORCH_CPU_TRAIN_BASELINE_SAMPLES_PER_SEC
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts", "bench_torch_train_baseline.py"), "1", "3"],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        m = re.search(r"([0-9.]+) samples/s", out.stdout)
+        if out.returncode == 0 and m:
+            live = float(m.group(1))
+            ratio = live / stored
+            if ratio < 1 / 2 or ratio > 2:
+                return stored, {
+                    "live_samples_per_sec_rejected": round(live, 4),
+                    "method": "stored constant (live re-measure deviated "
+                    f"{ratio:.2f}x — host contention suspected); "
+                    "scripts/bench_torch_train_baseline.py"}
+            prov = {"method": "scripts/bench_torch_train_baseline.py, "
+                    "measured live this run (reference modules, torch CPU, "
+                    "batch 1, median of 3 steps)"}
+            if ratio < 1 / 1.3 or ratio > 1.3:
+                prov["warning"] = (f"live train baseline deviates "
+                                   f"{ratio:.2f}x from the stored constant")
+            return live, prov
+    except Exception:                               # noqa: BLE001
+        pass
+    return stored, {"method": "STALE constant (live re-measure failed); "
+                    "scripts/bench_torch_train_baseline.py, 2026-08"}
 
 H, W = 192, 640
 N_COARSE = 64
@@ -229,6 +276,73 @@ def bench_train_step():
     return sps, desc
 
 
+def bench_nvs_frames():
+    """NVS serving frame times (full 192x640 novel-view render from a
+    one-frame encoding): the shipped general-path serving profile (24+16
+    `fine_reuse_coarse`, configs/eval_synthetic_flagship_nvs.yaml) and the
+    sweep-mode path (models/sweep.py, warp-lattice dense fetch + top-M
+    colors) — the cross-round record of the repo's NVS serving speed."""
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.models.bts import BTSNet
+    from behindthescenes_tpu.models.sweep import render_frame_sweep
+    from behindthescenes_tpu.ray_sampler import ImageRaySampler
+
+    net, variables, images, poses, projs = flagship_setup()
+    grid = jax.jit(lambda v, im: net.apply(
+        v, im, projs, poses, ids_encoder=[0], ids_render=[0],
+        method=BTSNet.encode))(variables, images)
+    novel = jnp.eye(4).at[0, 3].set(0.25).at[1, 3].set(-0.05)
+    out = {}
+
+    # General path at the shipped serving profile (40 queried pts/ray).
+    cfg_fast = renderer_lib.RendererConfig(
+        n_coarse=24, n_fine=16, fine_reuse_coarse=True, lindisp=True,
+        hard_alpha_cap=True)
+    sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
+    rays, _ = sampler.sample(None, None, novel[None, None], projs[:, :1])
+
+    def gen_frame(v, g, rays, key, n):
+        def body(i, acc):
+            k = jax.random.fold_in(key, i)
+
+            def query_fn(xyz, coarse):
+                return net.apply(v, g, xyz + acc * 1e-12, coarse=coarse,
+                                 method=BTSNet.query)
+
+            o = renderer_lib.render_rays_chunked(
+                query_fn, rays, k, cfg_fast, ray_chunk=61440)
+            c = o.get("fine", o["coarse"])
+            return (acc + jnp.sum(c["rgb"].astype(jnp.float32))
+                    + jnp.sum(c["depth"]))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t = marginal_time(jax.jit(gen_frame),
+                      (variables, grid, rays, jax.random.PRNGKey(1)), 2, 10)
+    out["nvs_frame_ms_general_24p16_reuse"] = round(t * 1e3, 2)
+
+    # Sweep mode (deterministic ladder, K=64).
+    cfg64 = renderer_lib.RendererConfig(n_coarse=N_COARSE, lindisp=True,
+                                        hard_alpha_cap=True)
+
+    def sweep_frame(v, g, pose, n):
+        def body(i, acc):
+            o = render_frame_sweep(
+                net, v, g, pose.at[0, 3].add(acc * 1e-12), projs[0, 0],
+                (H, W), cfg64, warp_scale=1.0, mlp_at_warp=True,
+                color_mode="topm")
+            c = o["coarse"]
+            return (acc + jnp.sum(c["rgb"].astype(jnp.float32))
+                    + jnp.sum(c["depth"]))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t2 = marginal_time(jax.jit(sweep_frame), (variables, grid, novel), 2, 12)
+    out["nvs_frame_ms_sweep_64"] = round(t2 * 1e3, 2)
+    out["nvs_frame_unit"] = ("ms per full 192x640 novel-view frame, 1 chip "
+                             "(general = shipped 24+16 fine_reuse profile; "
+                             "sweep = models/sweep.py K=64 deterministic)")
+    return out
+
+
 def roofline_of(single_jit, args, t_seconds, extra_cost=(0.0, 0.0)):
     """MFU / HBM utilization of the timed program: XLA's own counted FLOPs
     and bytes for the compiled single-frame fn vs the v5e peaks (197 TF/s
@@ -297,8 +411,33 @@ def main():
         sps, desc = bench_train_step()
         extra["train_samples_per_sec"] = round(sps, 1)
         extra["train_unit"] = f"training samples/s ({desc}), 1 chip"
+        train_base, train_prov = measure_torch_train_baseline()
+        extra["train_vs_baseline"] = round(sps / train_base, 1)
+        extra["train_baseline_samples_per_sec"] = round(train_base, 4)
+        extra["train_baseline_provenance"] = train_prov
     except Exception as e:                      # noqa: BLE001
         extra["train_samples_per_sec_error"] = repr(e)[:200]
+
+    # The recommended FAST training profile (24+16 fine_reuse_coarse, 40
+    # queried pts/ray — PERF.md training table) and the best-NVS serving
+    # frame, so round BENCH records carry the repo's headline
+    # configurations, not just the reference-shaped defaults.
+    try:
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_train import measure as _tmeasure
+        _, fast_sps, fast_desc = _tmeasure(8, "kitti_raw_fast")
+        extra["train_fast_samples_per_sec"] = round(fast_sps, 1)
+        extra["train_fast_unit"] = f"training samples/s ({fast_desc}), 1 chip"
+    except Exception as e:                      # noqa: BLE001
+        extra["train_fast_samples_per_sec_error"] = repr(e)[:200]
+
+    try:
+        nvs = bench_nvs_frames()
+        extra.update(nvs)
+    except Exception as e:                      # noqa: BLE001
+        extra["nvs_frame_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "depth_render_rays_per_sec",

@@ -1,0 +1,85 @@
+"""Sweep-mode NVS frame benchmark (models/sweep.py) vs the general path.
+
+Times one full 192x640 novel-view frame on the flagship model through
+`render_frame_sweep` — deterministic shared z-ladder, per-plane warp-lattice
+feature fetch + separable MXU upsample, density decode, triangular-matmul
+composite, top-M color fetch — for a grid of (warp_scale, mlp_at_warp,
+color_mode, n_coarse) against the general gather path's time
+(scripts/bench_nvs.py). Marginal timing per bench.py.
+
+Usage: python scripts/bench_sweep.py [--quick]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from behindthescenes_tpu.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+from bench import H, W, N_COARSE, flagship_setup, marginal_time
+
+
+def build(net, variables, grid, novel, proj, cfg, **sweep_kw):
+    from behindthescenes_tpu.models.sweep import render_frame_sweep
+
+    def frame(v, g, pose, n):
+        def body(i, acc):
+            out = render_frame_sweep(
+                net, v, g, pose.at[0, 3].add(acc * 1e-12), proj, (H, W),
+                cfg, **sweep_kw)
+            c = out["coarse"]
+            return (acc + jnp.sum(c["rgb"].astype(jnp.float32))
+                    + jnp.sum(c["depth"]))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return jax.jit(frame), (variables, grid, novel)
+
+
+def main(quick=False):
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    net, variables, images, poses, projs = flagship_setup()
+    grid = jax.jit(lambda v, im: net.apply(
+        v, im, projs, poses, ids_encoder=[0], ids_render=[0],
+        method=BTSNet.encode))(variables, images)
+    novel = jnp.eye(4).at[0, 3].set(0.25).at[1, 3].set(-0.05)
+    proj = projs[0, 0]
+
+    variants = [
+        ("warp1.0 mlpwarp topm8", dict(warp_scale=1.0, mlp_at_warp=True,
+                                       color_mode="topm")),
+        ("warp1.0 fullmlp topm8", dict(warp_scale=1.0, mlp_at_warp=False,
+                                       color_mode="topm")),
+        ("warp1.0 mlpwarp exact-col", dict(warp_scale=1.0, mlp_at_warp=True,
+                                           color_mode="exact")),
+        ("warp0.5 mlpwarp topm8", dict(warp_scale=0.5, mlp_at_warp=True,
+                                       color_mode="topm")),
+        ("exact-fetch fullmlp topm8", dict(warp_scale=None,
+                                           color_mode="topm")),
+    ]
+    if quick:
+        variants = variants[:1]
+
+    ks = [N_COARSE] if quick else [N_COARSE, 32]
+    for n_coarse in ks:
+        cfg = renderer_lib.RendererConfig(n_coarse=n_coarse, lindisp=True,
+                                          hard_alpha_cap=True)
+        for tag, kw in variants:
+            fn, args = build(net, variables, grid, novel, proj, cfg, **kw)
+            t = marginal_time(fn, args, 2, 12)
+            print(f"sweep K={n_coarse:2d} {tag:28s}: {t * 1e3:7.2f} ms = "
+                  f"{H * W / t / 1e6:6.2f} M rays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main(quick="--quick" in sys.argv)

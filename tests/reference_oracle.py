@@ -128,7 +128,11 @@ def _build_torchvision_stub():
 
     class _LazyErrModule(types.ModuleType):
         def __getattr__(self, name):
-            raise NotImplementedError(
+            # AttributeError (not NotImplementedError): generic module
+            # introspection — e.g. `inspect`'s hasattr(mod, "__file__") walk
+            # of sys.modules inside torch warning plumbing — must see a
+            # normal missing attribute, not an error.
+            raise AttributeError(
                 f"torchvision stub: {self.__name__}.{name} is not implemented"
                 " (only models.resnet* is)")
 
