@@ -97,7 +97,7 @@ KB = 8  # k-samples fused per MXU dot: 8*13 = 104 contraction rows <= 128,
 
 def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
             b_out_ref, out_ref, *, n_freqs: int, freq_factor: float,
-            vpu_proj: bool = False):
+            vpu_proj: bool = False, ablate_code: bool = False):
     hs_stack = jnp.concatenate([hsT_ref[...]] * KB, axis=0) \
         .astype(jnp.float32)                            # (KB*H, T)
     wd_bd = wdbd_ref[...].astype(jnp.bfloat16)          # (KB*H, KB*13)
@@ -117,9 +117,15 @@ def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
         c = coordT_ref[pl.dslice(g * KB, KB), :].astype(jnp.float32)
         # (KB*13, T), k-major within each of the 13 function blocks —
         # wd_bd's contraction rows are permuted to match.
-        code = jnp.concatenate(
-            [c] + [jnp.sin(f * c) for f in freqs]
-            + [jnp.cos(f * c) for f in freqs], axis=0)
+        if ablate_code:
+            # Bench-only probe (scripts/bench_jitter_isolate.py): same
+            # shapes/matmuls but no transcendentals — prices the VPU
+            # sin/cos share of the kernel. NOT a valid density decode.
+            code = jnp.concatenate([c] * (1 + 2 * len(freqs)), axis=0)
+        else:
+            code = jnp.concatenate(
+                [c] + [jnp.sin(f * c) for f in freqs]
+                + [jnp.cos(f * c) for f in freqs], axis=0)
         hd = jax.lax.dot_general(
             wd_bd, code.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
@@ -172,11 +178,12 @@ def interleave_to_grouped(n_freqs: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_freqs", "freq_factor", "block", "interpret", "vpu_proj"))
+    "n_freqs", "freq_factor", "block", "interpret", "vpu_proj",
+    "ablate_code"))
 def jitter_density_pallas(coord, h_static, w_d, b_in, w_out_col, b_out,
                           *, n_freqs: int, freq_factor: float,
                           block: int = 1024, interpret: bool = False,
-                          vpu_proj: bool = False):
+                          vpu_proj: bool = False, ablate_code: bool = False):
     """Fused density logits for per-ray z codes.
 
     coord: (B, K) f32 normalized z code input in [-1, 1] (B rays, K samples)
@@ -211,7 +218,8 @@ def jitter_density_pallas(coord, h_static, w_d, b_in, w_out_col, b_out,
     hsT = jnp.pad(h_static, ((0, padded - b), (0, 0))).T       # (H, Bp)
     out = pl.pallas_call(
         functools.partial(_kernel, n_freqs=n_freqs,
-                          freq_factor=freq_factor, vpu_proj=vpu_proj),
+                          freq_factor=freq_factor, vpu_proj=vpu_proj,
+                          ablate_code=ablate_code),
         grid=(padded // block,),
         in_specs=[
             pl.BlockSpec((kp, block), lambda i: (0, i)),
