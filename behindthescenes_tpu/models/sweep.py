@@ -116,30 +116,59 @@ def _fetch_colors(grid: FeatureGrid, xy):
     return grid_sample_2d_packed(pack_corners(grid.color_imgs[0, 0]), xy)
 
 
-def sweep_plane_density(net: BTSNet, grid: FeatureGrid, origin, dirs_full,
-                        z_k, full_hw, dirs_warp=None, warp_hw=None,
+def _resample_batched(x, out_hw):
+    """Batched align-corners lattice resample: (P, h, w, C) -> (P, oh, ow,
+    C) via the channel axis of one separable resample (planes fold into
+    channels, so P planes cost ONE pair of banded matmuls)."""
+    p, h, w, c = x.shape
+    y = jnp.moveaxis(x, 0, -2).reshape(h, w, p * c)
+    y = resample_uniform_lattice(y, out_hw, align_corners=True)
+    oh, ow = out_hw
+    return jnp.moveaxis(y.reshape(oh, ow, p, c), -2, 0)
+
+
+def _block_divisor(k: int, p: int) -> int:
+    p = max(1, min(p, k))
+    while k % p:
+        p -= 1
+    return p
+
+
+def sweep_block_density(net: BTSNet, grid: FeatureGrid, origin, dirs_full,
+                        z_blk, full_hw, dirs_warp=None, warp_hw=None,
                         mlp_at_warp: bool = False, coarse: bool = True,
                         scale: int = 0):
-    """Density logits for ONE plane of the sweep (module-context method;
-    the scan over planes lives in `query_sweep_density`).
+    """Density logits for a BLOCK of P planes, vectorized (module-context
+    method; the scan over blocks lives in `query_sweep_density`).
 
-    Returns (logits (HW,), invalid (HW,) bool)."""
+    Batching planes matters on TPU: per-plane ops at warp-lattice size sit
+    under a ~1.4 ms fixed per-dispatch floor (measured — a 64-iteration
+    scan of single planes costs ~90 ms regardless of gather count), while
+    a block's gathers/matmuls run at the measured-efficient sizes
+    (PERF.md findings 2/3b).
+
+    z_blk: (P,). Returns (logits (P, HW), invalid (P, HW) bool)."""
     h, w = full_hw
     hw = h * w
+    p = z_blk.shape[0]
     use_warp = dirs_warp is not None
     mlp = net.mlp_coarse if (coarse or net.mlp_fine is None) else net.mlp_fine
     pose_f = grid.f_poses_w2c[0, 0]
     k_f = grid.f_ks[0, 0]
     c_l = grid.features[scale].shape[-1]
 
-    pts_full = origin[None] + z_k * dirs_full                  # (HW, 3)
-    xy_f, z_f, dist_f, inv_f = _project_single(pts_full, pose_f, k_f)
+    pts_full = (origin[None, None]
+                + z_blk[:, None, None] * dirs_full[None])      # (P, HW, 3)
+    xy_f, z_f, dist_f, inv_f = _project_single(
+        pts_full.reshape(p * hw, 3), pose_f, k_f)
 
     if use_warp:
         wh, ww = warp_hw
-        pts_w = origin[None] + z_k * dirs_warp
+        whw = dirs_warp.shape[0]
+        pts_w = (origin[None, None]
+                 + z_blk[:, None, None] * dirs_warp[None]).reshape(-1, 3)
         xy_w, z_w, dist_w, inv_w = _project_single(pts_w, pose_f, k_f)
-        f_w = _fetch_features(grid, xy_w, scale)               # (wh*ww, C)
+        f_w = _fetch_features(grid, xy_w, scale)               # (P*whw, C)
         if net.learn_empty:
             empty = jnp.broadcast_to(
                 net.empty_feature.astype(f_w.dtype), f_w.shape)
@@ -150,16 +179,15 @@ def sweep_plane_density(net: BTSNet, grid: FeatureGrid, origin, dirs_full,
             code_w = net.code_xyz(jnp.concatenate([xy_w, coord_w], axis=-1))
             mlp_in = jnp.concatenate([f_w, code_w.astype(f_w.dtype)],
                                      axis=-1)
-            out = mlp(mlp_in[None], combine_inner_dims=(wh * ww,))
-            logit = resample_uniform_lattice(
-                out[0, :, :1].astype(jnp.float32).reshape(wh, ww, 1),
-                (h, w), align_corners=True).reshape(hw)
-            return logit, inv_f[:, 0]
-        feats = resample_uniform_lattice(
-            f_w.reshape(wh, ww, c_l), (h, w),
-            align_corners=True).reshape(hw, c_l)
+            out = mlp(mlp_in[None], combine_inner_dims=(p * whw,))
+            logit = _resample_batched(
+                out[0, :, 0].astype(jnp.float32).reshape(p, wh, ww, 1),
+                (h, w)).reshape(p, hw)
+            return logit, inv_f[:, 0].reshape(p, hw)
+        feats = _resample_batched(
+            f_w.reshape(p, wh, ww, c_l), (h, w)).reshape(p * hw, c_l)
     else:
-        feats = _fetch_features(grid, xy_f, scale)             # (HW, C)
+        feats = _fetch_features(grid, xy_f, scale)             # (P*HW, C)
 
     if net.learn_empty:
         empty = jnp.broadcast_to(
@@ -169,35 +197,43 @@ def sweep_plane_density(net: BTSNet, grid: FeatureGrid, origin, dirs_full,
     coord = _normalize_coord(net, coord)
     code = net.code_xyz(jnp.concatenate([xy_f, coord], axis=-1))
     mlp_in = jnp.concatenate([feats, code.astype(feats.dtype)], axis=-1)
-    out = mlp(mlp_in[None], combine_inner_dims=(hw,))
-    return out[0, :, 0], inv_f[:, 0]
+    out = mlp(mlp_in[None], combine_inner_dims=(p * hw,))
+    return out[0, :, 0].reshape(p, hw), inv_f[:, 0].reshape(p, hw)
 
 
 def query_sweep_density(net: BTSNet, variables, grid: FeatureGrid, origin,
                         dirs_full, z_samp, full_hw, dirs_warp=None,
                         warp_hw=None, mlp_at_warp: bool = False,
-                        coarse: bool = True, scale: int = 0):
-    """Density over a full frame by scanning the shared z-ladder.
+                        coarse: bool = True, scale: int = 0,
+                        planes_per_step: int = None):
+    """Density over a full frame by scanning the shared z-ladder in blocks
+    of `planes_per_step` planes (each block one pure `net.apply`).
 
-    Each plane is one pure `net.apply` inside a lax.scan (one compiled
-    body; activations stay at single-plane size).
+    planes_per_step defaults to 16 for the warp-res decode and 8 for the
+    render-res decode (HBM-bounded), clamped to a divisor of K.
 
     Returns sigma (1, HW, K), invalid (1, HW, K) bool.
     """
     assert grid.features[scale].shape[0] == 1, "sweep path is per-frame"
     assert grid.features[scale].shape[1] == 1 and grid.f_combine is None, \
         "sweep path needs a single encoder view/group"
+    k = z_samp.shape[0]
+    if planes_per_step is None:
+        planes_per_step = 16 if (mlp_at_warp and dirs_warp is not None) \
+            else 8
+    p = _block_divisor(k, planes_per_step)
 
-    def body(carry, z_k):
+    def body(carry, z_blk):
         logit, inv = net.apply(
-            variables, grid, origin, dirs_full, z_k, full_hw,
+            variables, grid, origin, dirs_full, z_blk, full_hw,
             dirs_warp=dirs_warp, warp_hw=warp_hw, mlp_at_warp=mlp_at_warp,
-            coarse=coarse, scale=scale, method=sweep_plane_density)
+            coarse=coarse, scale=scale, method=sweep_block_density)
         return carry, (logit, inv)
 
-    _, (logits, invalid) = jax.lax.scan(body, None, z_samp)
-    logits = jnp.transpose(logits)[None]                       # (1, HW, K)
-    invalid = jnp.transpose(invalid)[None]
+    _, (logits, invalid) = jax.lax.scan(body, None,
+                                        z_samp.reshape(k // p, p))
+    logits = jnp.transpose(logits.reshape(k, -1))[None]        # (1, HW, K)
+    invalid = jnp.transpose(invalid.reshape(k, -1))[None]
     sigma = nn.softplus(logits) if net.sample_color else nn.relu(logits)
     if net.empty_empty:
         sigma = jnp.where(invalid, 0.0, sigma)
@@ -221,15 +257,23 @@ def sweep_colors(grid: FeatureGrid, origin, dirs_full, z_samp, weights,
     hw = dirs_full.shape[0]
 
     if color_mode == "exact":
+        k = z_samp.shape[0]
+        p = _block_divisor(k, 8)   # blocks: keep each gather at P*HW rows
+
         def body(acc, xs):
-            z_k, wk = xs
-            pts = origin[None] + z_k * dirs_full
+            z_blk, wk = xs                     # (P,), (P, HW)
+            pts = (origin[None, None]
+                   + z_blk[:, None, None] * dirs_full[None]).reshape(-1, 3)
             xy, _, _, inv = _project_single(pts, pose_c, k_c)
-            col = _fetch_colors(grid, xy).astype(jnp.float32)
-            return acc + wk[:, None] * col, inv[:, 0]
+            col = _fetch_colors(grid, xy).astype(jnp.float32) \
+                .reshape(p, hw, 3)
+            return acc + jnp.sum(wk[..., None] * col, axis=0), \
+                inv[:, 0].reshape(p, hw)
         rgb, inv_k = jax.lax.scan(
-            body, jnp.zeros((hw, 3)), (z_samp, jnp.transpose(w_)))
-        return rgb[None], jnp.transpose(inv_k)[None]           # (1, HW, K)
+            body, jnp.zeros((hw, 3)),
+            (z_samp.reshape(k // p, p),
+             jnp.transpose(w_).reshape(k // p, p, hw)))
+        return rgb[None], jnp.transpose(inv_k.reshape(k, hw))[None]
 
     if color_mode == "topm":
         wv, wi = jax.lax.top_k(w_, top_m)                      # (HW, M)
@@ -270,7 +314,8 @@ def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
                        mlp_at_warp: bool = False,
                        color_mode: str = "exact", top_m: int = 8,
                        z_near: Optional[float] = None,
-                       z_far: Optional[float] = None):
+                       z_far: Optional[float] = None,
+                       planes_per_step: Optional[int] = None):
     """Render one full novel-view frame in sweep mode.
 
     Args:
@@ -307,7 +352,8 @@ def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
 
     sigma, invalid = query_sweep_density(
         net, variables, grid, origin, dirs_full, z_samp, (h, w),
-        dirs_warp=dirs_warp, warp_hw=warp_hw, mlp_at_warp=mlp_at_warp)
+        dirs_warp=dirs_warp, warp_hw=warp_hw, mlp_at_warp=mlp_at_warp,
+        planes_per_step=planes_per_step)
 
     z_b = jnp.broadcast_to(z_samp[None, None], sigma.shape)
     weights, alphas = renderer_lib.weights_from_sigma(sigma, z_b, cfg)

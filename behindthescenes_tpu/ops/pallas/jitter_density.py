@@ -123,9 +123,22 @@ def _kernel(coordT_ref, hsT_ref, wdbd_ref, b_in_ref, w_out_bd_ref,
             # sin/cos share of the kernel. NOT a valid density decode.
             code = jnp.concatenate([c] * (1 + 2 * len(freqs)), axis=0)
         else:
-            code = jnp.concatenate(
-                [c] + [jnp.sin(f * c) for f in freqs]
-                + [jnp.cos(f * c) for f in freqs], axis=0)
+            # Octave frequency ladder (f, 2f, 4f, ...) via double-angle
+            # recursion: sin(2a) = 2 sin a cos a, cos(2a) = 1 - 2 sin^2 a
+            # — 2 transcendentals + ~4 VPU mul/adds per extra frequency
+            # instead of 2 per frequency. Measured: the naive form spent
+            # 1.17 ms of the 2.20 ms kernel in sin/cos (53%,
+            # scripts/bench_jitter_isolate.py); f32 recursion error after
+            # 5 doublings is ~1e-6, far below the bf16 matmul rounding
+            # the code feeds (2^-8).
+            s = jnp.sin(freqs[0] * c)
+            co = jnp.cos(freqs[0] * c)
+            sins, coss = [s], [co]
+            for _ in range(len(freqs) - 1):
+                s, co = 2.0 * s * co, 1.0 - 2.0 * s * s
+                sins.append(s)
+                coss.append(co)
+            code = jnp.concatenate([c] + sins + coss, axis=0)
         hd = jax.lax.dot_general(
             wd_bd, code.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),

@@ -15,10 +15,14 @@ gathers (PERF.md finding 3b) at realistic epipolar geometry (stereo-offset
 camera, lindisp jittered samples), plus a parity check that the region
 formulation reproduces grid_sample where the region covers the tile.
 
-FLOP counting says the candidate loses: the inner contraction alone is
-T*RW*RH*C*2 flops/tile (2.4 GFLOP per 4096-pt tile at a 48x96 region) vs
-the gather path's ~2 row-gathers/pt; run to pin the measured numbers for
-the kernel decision index.
+Measured verdict (round 5 on chip): the candidate WINS — 245k points in
+0.312 ms at an 8x48 region (100% tile coverage on this geometry) vs
+1.876 ms for the incumbent x-pair gathers (6x); 16x64 still 3.4x. The
+separable form (hat matmuls ride the idle MXU) beats per-row random
+access exactly like PERF.md finding 12's lattice resample. See the PERF
+kernel decision index for the integration status/considerations (static
+region sizing needs a per-config bound + fit fallback; the backward is
+matmuls + dynamic_update_slice-add instead of scatter-add).
 
 Usage: python scripts/bench_strip_fetch.py
 """
@@ -180,7 +184,9 @@ def main():
     hx = hat(jnp.clip(px, 0, FW - 1) - x0,
              jnp.arange(128, dtype=jnp.float32))
     vals = jnp.einsum("py,pyc->pc", hy,
-                      jnp.einsum("pr,yrc->pyc", hx, region))
+                      jnp.einsum("pr,yrc->pyc", hx, region,
+                                 precision="highest"),
+                      precision="highest")
     want = grid_sample_2d(fmap32, xy0[0])
     fits = np.asarray((py.max() - py.min() < 46) & (px.max() - px.min() < 126))
     dev = float(jnp.abs(vals - want).max())
