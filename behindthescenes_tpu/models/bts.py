@@ -140,6 +140,14 @@ class BTSNet(nn.Module):
     sample_color: bool = True
     return_sample_depth: bool = False
     compute_dtype: Any = jnp.float32
+    # (rh, rw) feature-map region for the gather-free TILE fetch
+    # (ops/grid_sample.grid_sample_2d_tiles — measured 6x the x-pair row
+    # gathers, scripts/bench_strip_fetch.py). Used when the caller passes
+    # tile-grouped points (patch-mode training, query(n_tiles=...)). Size
+    # it to cover tile extent + disparity span at feature resolution;
+    # points beyond a tile's region read as zeros (tile_region_fit
+    # reports coverage).
+    tile_region: Any = None
 
     def setup(self):
         if self.code_mode not in ("z", "distance"):
@@ -265,11 +273,15 @@ class BTSNet(nn.Module):
 
     # ----------------------------------------------------------------- queries
     def sample_features(self, grid: FeatureGrid, xyz, scale: int = 0,
-                        use_single_featuremap: bool = True):
+                        use_single_featuremap: bool = True,
+                        n_tiles: Optional[int] = None):
         """Pixel-aligned feature lookup + positional code
         (reference models_bts.py:138-216).
 
-        xyz: (n, p, 3) world points.
+        xyz: (n, p, 3) world points. n_tiles: points are grouped into this
+        many per-batch tiles with compact projections (patch-mode
+        training) — enables the tile-region fetch when `tile_region` is
+        configured.
         Returns (features (n, [nv,] p, c + d_code), invalid (n, [nv,] p, 1)).
         """
         feature_map = grid.features[scale]
@@ -290,7 +302,25 @@ class BTSNet(nn.Module):
         coord = 2.0 * coord - 1.0
         xyz_code = self.code_xyz(jnp.concatenate([xy, coord], axis=-1))
 
-        if grid.features_packed is not None:
+        if n_tiles is not None and self.tile_region is not None:
+            # Gather-free tile fetch: per tile, one dynamic_slice region +
+            # separable hat matmuls on the otherwise-idle MXU (exact
+            # border-bilinear semantics within each tile's region;
+            # tests/test_grid_sample.py). Uses the unpacked map in the
+            # compute dtype — same interp precision class as the packed
+            # row-gather path.
+            from behindthescenes_tpu.ops.grid_sample import (
+                grid_sample_2d_tiles)
+            p_total = xy.shape[2]
+            tp = p_total // n_tiles
+            ims = feature_map.reshape(n * nv, h, w, c)
+            co = xy.reshape(n * nv, n_tiles, tp, 2)
+            region = tuple(int(r) for r in self.tile_region)
+            sampled = jax.vmap(
+                lambda im, c2: grid_sample_2d_tiles(im, c2, region))(
+                    ims, co)
+            sampled = sampled.reshape(n, nv, p_total, c)
+        elif grid.features_packed is not None:
             # Packed row gathers instead of four narrow ones; bf16 values
             # halve the dominant per-point training activations (the corner
             # tensors), which otherwise push XLA into auto-remat at
@@ -356,18 +386,19 @@ class BTSNet(nn.Module):
         return colors, invalid
 
     def query(self, grid: FeatureGrid, xyz, coarse: bool = True,
-              only_density: bool = False, scale: int = 0):
+              only_density: bool = False, scale: int = 0,
+              n_tiles: Optional[int] = None):
         """Evaluate the field at world points
         (reference models_bts.py:266-338).
 
-        xyz: (n, p, 3).
+        xyz: (n, p, 3). n_tiles: see sample_features.
         Returns rgb (n, p, nv*3), invalid (n, p, nv) float, sigma (n, p, 1).
         """
         n, n_pts, _ = xyz.shape
         with jax.named_scope("sample_features"):
             feats, invalid_features = self.sample_features(
                 grid, xyz, scale=scale,
-                use_single_featuremap=not only_density)
+                use_single_featuremap=not only_density, n_tiles=n_tiles)
 
         if only_density and feats.ndim == 4:
             # Density grid queries run with a single (possibly combined)
@@ -584,6 +615,8 @@ class BTSNet(nn.Module):
             mlp_fine_conf=dict(conf.get("mlp_fine", {"type": "empty"})),
             learn_empty=conf.get("learn_empty", True),
             empty_empty=conf.get("empty_empty", False),
+            tile_region=(tuple(conf["tile_fetch_region"])
+                         if conf.get("tile_fetch_region") else None),
             inv_z=conf.get("inv_z", True),
             color_interpolation=conf.get("color_interpolation", "bilinear"),
             code_mode=conf.get("code_mode", "z"),

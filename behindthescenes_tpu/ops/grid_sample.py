@@ -10,6 +10,7 @@ projection / MLP math.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -218,6 +219,65 @@ def grid_sample_2d_packed(packed: jnp.ndarray, coords: jnp.ndarray, *,
     top = v00 * (1 - wx1) + v01 * wx1
     bot = v10 * (1 - wx1) + v11 * wx1
     return top * (1 - wy1) + bot * wy1
+
+
+def grid_sample_2d_tiles(image: jnp.ndarray, coords: jnp.ndarray,
+                         region_hw, *, precision=None) -> jnp.ndarray:
+    """Bilinear sample for TILE-GROUPED points via per-tile dense regions —
+    gather-free (measured 6x the x-pair row gathers at 8x48 regions,
+    scripts/bench_strip_fetch.py).
+
+    Each tile's points must project into a compact quad (epipolar
+    geometry: a patch of rays x its samples). Per tile: dynamic_slice a
+    static (rh, rw) region at the tile's coordinate minimum, then
+    interpolate with separable hat-function matmuls
+    (val[p] = sum_y hy[p,y] * sum_x hx[p,x] * R[y,x,:]) — dense MXU work.
+    The backward is matmuls + dynamic_update_slice-add (no scatter), so
+    the formulation trains.
+
+    Semantics match grid_sample_2d(..., align_corners=False, "border")
+    EXACTLY for points whose (clipped) coords fall inside their tile's
+    region; points outside get ZERO features (all hat weights vanish).
+    Callers must size region_hw from the geometry (tile extent +
+    disparity span) — `tile_region_fit` reports the fit mask.
+
+    image: (H, W, C); coords: (T, P, 2) normalized per-tile points.
+    Returns (T, P, C) in image's dtype.
+    """
+    h, w, c = image.shape
+    rh, rw = region_hw
+    px = jnp.clip(_unnormalize(coords[..., 0], w, False), 0.0, w - 1)
+    py = jnp.clip(_unnormalize(coords[..., 1], h, False), 0.0, h - 1)
+    x0 = jnp.clip(jnp.min(px, axis=1).astype(jnp.int32), 0, max(w - rw, 0))
+    y0 = jnp.clip(jnp.min(py, axis=1).astype(jnp.int32), 0, max(h - rh, 0))
+
+    ry = jnp.arange(rh, dtype=px.dtype)
+    rx = jnp.arange(rw, dtype=px.dtype)
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        (py - y0[:, None].astype(py.dtype))[..., None] - ry))   # (T, P, rh)
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        (px - x0[:, None].astype(px.dtype))[..., None] - rx))   # (T, P, rw)
+
+    def one(y0_, x0_, hy_, hx_):
+        region = jax.lax.dynamic_slice(image, (y0_, x0_, 0), (rh, rw, c))
+        inner = jnp.einsum("pr,yrc->pyc", hx_.astype(image.dtype), region,
+                           precision=precision)
+        return jnp.einsum("py,pyc->pc", hy_.astype(image.dtype), inner,
+                          precision=precision)
+
+    return jax.vmap(one)(y0, x0, hy, hx)
+
+
+def tile_region_fit(coords: jnp.ndarray, image_hw, region_hw):
+    """Per-tile bool: does every (clipped) point of the tile fall inside a
+    (rh, rw) region anchored at the tile minimum? coords: (T, P, 2)."""
+    h, w = image_hw
+    rh, rw = region_hw
+    px = jnp.clip(_unnormalize(coords[..., 0], w, False), 0.0, w - 1)
+    py = jnp.clip(_unnormalize(coords[..., 1], h, False), 0.0, h - 1)
+    dx = jnp.max(px, axis=1) - jnp.min(px, axis=1)
+    dy = jnp.max(py, axis=1) - jnp.min(py, axis=1)
+    return (dy <= rh - 1) & (dx <= rw - 1)
 
 
 def _lattice_matrix(out_size: int, in_size: int,

@@ -74,6 +74,16 @@ class BTSWrapper:
             patch_size=self.patch_size, channels=channels)
         self.val_sampler = ImageRaySampler(self.z_near, self.z_far)
 
+        # Gather-free tile-region feature fetch (model_conf
+        # tile_fetch_region, ops/grid_sample.grid_sample_2d_tiles): only
+        # patch-mode TRAINING rays are tile-grouped (one 8x8 patch's
+        # samples project into a compact quad); validation/eval rays are
+        # full frames and keep the gather path.
+        self.query_tiles = None
+        if (self.sample_mode == "patch"
+                and getattr(self.net, "tile_region", None) is not None):
+            self.query_tiles = self.train_sampler.patch_count
+
     # ------------------------------------------------------------- host side
     def select_views(self, rng, v: int, training: bool) -> ViewIds:
         return select_views(rng, v, self.frames_render,
@@ -179,6 +189,8 @@ class BTSWrapper:
                 def query_fn(xyz, coarse):
                     return self.net.apply(variables_, grid_, xyz,
                                           coarse=coarse, scale=_scale,
+                                          n_tiles=(self.query_tiles
+                                                   if train else None),
                                           method=BTSNet.query)
                 if use_chunked_remat:
                     # Ray-chunked render with per-chunk remat: the per-point

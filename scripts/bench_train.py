@@ -45,7 +45,8 @@ def build_step(batch_size: int = 8, mode: str = "kitti_raw"):
     mode. Returns (step, state, batch, key, ids, train_enc, config, desc).
     Shared by measure() below and scripts/roofline.py (which cost-analyzes
     the same step it times)."""
-    valid_modes = {"kitti_raw", "kitti_raw_fast", "k360", "re10k"}
+    valid_modes = {"kitti_raw", "kitti_raw_fast", "k360", "re10k",
+                   "kitti_raw_tiles", "kitti_raw_tiles8"}
     if mode not in valid_modes:
         # The mode ifs below are non-exclusive fall-throughs: a typo'd mode
         # would silently benchmark the default shape under a bogus label.
@@ -91,6 +92,14 @@ def build_step(batch_size: int = 8, mode: str = "kitti_raw"):
         # (reference fine-loss semantics, lambda_coarse=lambda_fine=1).
         config["renderer"].update(n_coarse=24, n_fine=16,
                                   fine_reuse_coarse=True)
+    if mode == "kitti_raw_tiles":
+        # Gather-free tile-region feature fetch (grid_sample_2d_tiles,
+        # measured 6x the x-pair gathers at the fetch level): 16x64
+        # regions cover this geometry's tile bboxes (p99 dx 35 / dy 4 px,
+        # scripts/bench_strip_fetch.py) with 2x margin.
+        config["model_conf"]["tile_fetch_region"] = [16, 64]
+    if mode == "kitti_raw_tiles8":
+        config["model_conf"]["tile_fetch_region"] = [8, 48]
     if mode == "k360":
         # exp_kitti_360 training shape: 8 views per sample (stereo pair +
         # 2 fisheye, x2 timesteps), kitti360-mono loss/render split,

@@ -85,3 +85,44 @@ def test_resample_uniform_lattice_matches_grid_sample():
         got = resample_uniform_lattice(img, (oh, ow)).reshape(oh * ow, 6)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_tile_region_fetch_matches_grid_sample():
+    """grid_sample_2d_tiles must equal grid_sample_2d exactly (f32 pinned)
+    for tiles whose points fit their region — including border-clamped
+    points when the region touches the image edge."""
+    import jax
+    from behindthescenes_tpu.ops.grid_sample import (grid_sample_2d,
+                                                     grid_sample_2d_tiles,
+                                                     tile_region_fit)
+    rng = np.random.default_rng(3)
+    h, w, c = 24, 64, 8
+    img = jnp.asarray(rng.normal(size=(h, w, c)), dtype=jnp.float32)
+    # Tiles: compact clusters, one hugging the border (clamp case).
+    centers = np.array([[-0.6, -0.2], [0.3, 0.5], [0.98, 0.9]])
+    pts = centers[:, None, :] + rng.uniform(-0.12, 0.12, (3, 40, 2))
+    pts = jnp.asarray(np.clip(pts, -1.2, 1.2), dtype=jnp.float32)
+
+    region = (10, 14)
+    fit = np.asarray(tile_region_fit(pts, (h, w), region))
+    assert fit.all(), fit
+    got = grid_sample_2d_tiles(img, pts, region, precision="highest")
+    ref = grid_sample_2d(jnp.broadcast_to(img, (3, h, w, c)), pts,
+                         align_corners=False, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # Gradients flow (dynamic_update_slice-add + matmuls, no scatter).
+    def f(im):
+        return jnp.sum(grid_sample_2d_tiles(im, pts, region,
+                                            precision="highest") ** 2)
+
+    g = jax.grad(f)(img)
+    assert np.isfinite(np.asarray(g)).all()
+
+    def fr(im):
+        return jnp.sum(grid_sample_2d(
+            jnp.broadcast_to(im, (3, h, w, c)), pts,
+            align_corners=False, padding_mode="border") ** 2)
+
+    gr = jax.grad(fr)(img)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
