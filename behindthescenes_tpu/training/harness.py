@@ -251,7 +251,22 @@ def base_training(config: dict, get_dataflow: Callable,
     ckpt = CheckpointManager(os.path.join(hc.output_path, "checkpoints"))
     best_ckpt = CheckpointManager(os.path.join(hc.output_path, "best"),
                                   max_to_keep=2)
+    # Persist the best-metric VALUE alongside the best checkpoints so
+    # segmented/auto-resumed runs (scripts/train_segmented.sh) continue the
+    # comparison instead of overwriting a better earlier checkpoint with
+    # the first validation of a new segment.
     best_value = None
+    best_value_path = os.path.join(hc.output_path, "best", "best_value.json")
+    if hc.save_best_metric and os.path.exists(best_value_path):
+        try:
+            with open(best_value_path) as f:
+                prev = json.load(f)
+            if prev.get("metric") == hc.save_best_metric:
+                best_value = prev["signed_value"]
+                log.info("resuming best %s tracker at signed value %.5f",
+                         hc.save_best_metric, best_value)
+        except Exception:                           # noqa: BLE001
+            pass
 
     global _stop_requested
     _stop_requested = False
@@ -343,6 +358,15 @@ def base_training(config: dict, get_dataflow: Callable,
                     if best_value is None or val > best_value:
                         best_value = val
                         best_ckpt.save(it, state)
+                        try:
+                            with open(best_value_path, "w") as f:
+                                json.dump({"metric": hc.save_best_metric,
+                                           "signed_value": best_value,
+                                           "value": metrics[
+                                               hc.save_best_metric],
+                                           "step": int(it)}, f)
+                        except Exception:           # noqa: BLE001
+                            pass
                         log.info("new best %s=%.5f @ %d",
                                  hc.save_best_metric,
                                  metrics[hc.save_best_metric], it)
