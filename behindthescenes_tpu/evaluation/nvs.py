@@ -91,7 +91,7 @@ class NVSEvaluator:
             for vi in range(v):
                 out = render_frame_sweep(
                     net, variables, grid, poses_r[0, vi], projs[0, vi],
-                    (h, w), cfg, **sweep_conf)
+                    (h, w), cfg, mesh=self.mesh, **sweep_conf)
                 rgbs.append(out["fine"]["rgb"][0])             # (HW, 3)
             rgb = jnp.stack(rgbs).reshape(1, v, h, w, 1, 3)
             return {"coarse": {"rgb": rgb}, "fine": {"rgb": rgb}}

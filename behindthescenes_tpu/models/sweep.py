@@ -315,7 +315,8 @@ def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
                        color_mode: str = "exact", top_m: int = 8,
                        z_near: Optional[float] = None,
                        z_far: Optional[float] = None,
-                       planes_per_step: Optional[int] = None):
+                       planes_per_step: Optional[int] = None,
+                       mesh=None):
     """Render one full novel-view frame in sweep mode.
 
     Args:
@@ -325,6 +326,11 @@ def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
         map's (1.0 = feature resolution; None = exact per-sample fetch,
         no warp approximation).
       z_near/z_far: ladder bounds (default: the net's).
+      mesh: optional (data, rays) Mesh — the render-resolution ray axis
+        shards over the `rays` axis (rays are embarrassingly parallel;
+        the warp lattice and feature grid replicate), same layout as the
+        general path's eval sharding (parallel/mesh.eval_mesh). Applied
+        when H*W divides the mesh width.
     Returns:
       dict like render_rays' output: {"coarse"/"fine": {rgb (1, HW, 3),
       depth (1, HW), invalid (1, HW, K, 1), weights, alphas, z_samps}}.
@@ -337,6 +343,11 @@ def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
     rays = geometry.gen_rays(pose_c2w[None], w, h, zn, zf, focal=focal,
                              c=center)
     dirs_full = rays[0, ..., 3:6].reshape(h * w, 3)
+    if mesh is not None and mesh.shape.get("rays", 1) > 1 \
+            and (h * w) % mesh.shape["rays"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+        dirs_full = jax.lax.with_sharding_constraint(
+            dirs_full, NamedSharding(mesh, PartitionSpec("rays", None)))
     origin = pose_c2w[:3, 3]
     z_samp = sweep_z_ladder(cfg.n_coarse, zn, zf, cfg.lindisp)
 

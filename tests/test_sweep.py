@@ -151,3 +151,29 @@ def test_sweep_evaluator_integration():
     # The sweep path is deterministic (no stratified jitter), which shifts
     # PSNR slightly; a broken warp/ladder/color path lands far outside.
     assert abs(p_gen - p_sweep) < 0.5, (p_gen, p_sweep)
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="converged artifact not present")
+def test_sweep_multidevice_matches_single():
+    """Ray-sharded sweep render over the 8-device virtual mesh equals the
+    single-device render (same layout as the general path's eval
+    sharding)."""
+    from behindthescenes_tpu.parallel.mesh import make_mesh_2d
+
+    net, variables, grid, pose, proj = _setup()
+    cfg = rlib.RendererConfig(n_coarse=16, lindisp=True, hard_alpha_cap=True)
+    mesh = make_mesh_2d(jax.devices(), data=1)
+    assert mesh.shape["rays"] > 1 and (H * W) % mesh.shape["rays"] == 0
+
+    def run(mesh_):
+        return jax.jit(lambda: sweep_lib.render_frame_sweep(
+            net, variables, grid, pose, proj, (H, W), cfg,
+            warp_scale=1.0, color_mode="topm", mesh=mesh_))()["coarse"]
+
+    single = run(None)
+    sharded = run(mesh)
+    np.testing.assert_allclose(np.asarray(sharded["rgb"]),
+                               np.asarray(single["rgb"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sharded["depth"]),
+                               np.asarray(single["depth"]), atol=2e-4)
