@@ -247,8 +247,14 @@ def sweep_colors(grid: FeatureGrid, origin, dirs_full, z_samp, weights,
 
     weights: (1, HW, K). Returns (rgb (1, HW, 3), invalid): per-sample
     invalid (1, HW, K) in "exact" mode (general-path semantics); reduced
-    any-relevant-sample invalid (1, HW, 1) for "topm"/"expected".
+    any-relevant-sample invalid (1, HW, 1) for "topm"/"expected"; "none"
+    skips the color pass entirely (depth-only serving — zeros rgb,
+    all-valid mask).
     """
+    if color_mode == "none":
+        hw = dirs_full.shape[0]
+        return (jnp.zeros((1, hw, 3)),
+                jnp.zeros((1, hw, 1), bool))
     assert grid.color_imgs.shape[1] == 1 and grid.c_combine is None, \
         "sweep path needs a single render view"
     pose_c = grid.c_poses_w2c[0, 0]

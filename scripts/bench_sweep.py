@@ -44,6 +44,68 @@ def build(net, variables, grid, novel, proj, cfg, **sweep_kw):
     return jax.jit(frame), (variables, grid, novel)
 
 
+def bench_topk():
+    """Standalone cost of the top-M weight selection (lax.top_k over
+    (HW, K)) — isolates the color pass's candidate bottleneck."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.random((H * W, N_COARSE)), jnp.float32)
+
+    def f(w, n):
+        def body(i, acc):
+            wv, wi = jax.lax.top_k(w + acc * 1e-12, 8)
+            return acc + jnp.sum(wv) + jnp.sum(wi.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t = marginal_time(jax.jit(f), (w,), 2, 22)
+    print(f"top_k (122880,64)->8           : {t * 1e3:7.2f} ms", flush=True)
+
+
+def isolate():
+    """Decompose the sweep frame: density-only vs color modes, and the
+    planes_per_step grid — run after a full-frame number looks off."""
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    net, variables, images, poses, projs = flagship_setup()
+    grid = jax.jit(lambda v, im: net.apply(
+        v, im, projs, poses, ids_encoder=[0], ids_render=[0],
+        method=BTSNet.encode))(variables, images)
+    novel = jnp.eye(4).at[0, 3].set(0.25).at[1, 3].set(-0.05)
+    proj = projs[0, 0]
+    cfg = renderer_lib.RendererConfig(n_coarse=N_COARSE, lindisp=True,
+                                      hard_alpha_cap=True)
+
+    bench_topk()
+    variants = [
+        ("density-only mlpwarp pps16", dict(color_mode="none",
+                                            warp_scale=1.0,
+                                            mlp_at_warp=True,
+                                            planes_per_step=16)),
+        ("density-only mlpwarp pps8", dict(color_mode="none",
+                                           warp_scale=1.0, mlp_at_warp=True,
+                                           planes_per_step=8)),
+        ("density-only mlpwarp pps32", dict(color_mode="none",
+                                            warp_scale=1.0,
+                                            mlp_at_warp=True,
+                                            planes_per_step=32)),
+        ("density-only fullmlp pps8", dict(color_mode="none",
+                                           warp_scale=1.0,
+                                           mlp_at_warp=False,
+                                           planes_per_step=8)),
+        ("full topm8 pps16", dict(color_mode="topm", warp_scale=1.0,
+                                  mlp_at_warp=True, planes_per_step=16)),
+        ("full expected pps16", dict(color_mode="expected", warp_scale=1.0,
+                                     mlp_at_warp=True, planes_per_step=16)),
+        ("full exact-col pps16", dict(color_mode="exact", warp_scale=1.0,
+                                      mlp_at_warp=True, planes_per_step=16)),
+    ]
+    for tag, kw in variants:
+        fn, args = build(net, variables, grid, novel, proj, cfg, **kw)
+        t = marginal_time(fn, args, 2, 12)
+        print(f"sweep K=64 {tag:28s}: {t * 1e3:7.2f} ms = "
+              f"{H * W / t / 1e6:6.2f} M rays/s", flush=True)
+
+
 def main(quick=False):
     from behindthescenes_tpu import renderer as renderer_lib
     from behindthescenes_tpu.models.bts import BTSNet
@@ -82,4 +144,7 @@ def main(quick=False):
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    if "--isolate" in sys.argv:
+        isolate()
+    else:
+        main(quick="--quick" in sys.argv)
