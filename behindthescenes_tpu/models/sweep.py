@@ -19,10 +19,13 @@ pencil slice for planar sweeps; a "sphere sweep" here because d is unit-
 normalized — exactly the reference's distance-along-ray convention).
 Per plane k the pipeline is:
 
-  1. fetch feature values on a coarse WARP LATTICE (default: the feature
-     map's own resolution) — gathers drop from rays×K to warp_texels×K
-     (4× fewer at 192×640 over a 96×320 grid, and the warp lattice can be
-     coarser still);
+  1. fetch feature values on a coarse WARP LATTICE — gathers drop from
+     rays×K to warp_texels×K. NB the monodepth2 scale-0 feature map is at
+     FULL input resolution (PERF.md finding 19), so `warp_scale` is
+     relative to RENDER resolution in practice: 1.0 is an identity
+     lattice (no reduction — measured at general-path-minus-one-view
+     speed) and the structural win starts at 0.5 (4× fewer rows,
+     28.4 ms/frame) / 0.25 (16×, 10.2 ms);
   2. interpolate the warped plane to render resolution with the separable
      banded-matmul lattice resample (PERF.md finding 12) — dense MXU work
      instead of random access;
@@ -316,9 +319,9 @@ def sweep_colors(grid: FeatureGrid, origin, dirs_full, z_samp, weights,
 
 def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
                        proj, hw, cfg: renderer_lib.RendererConfig,
-                       warp_scale: Optional[float] = 1.0,
-                       mlp_at_warp: bool = False,
-                       color_mode: str = "exact", top_m: int = 8,
+                       warp_scale: Optional[float] = 0.5,
+                       mlp_at_warp: bool = True,
+                       color_mode: str = "topm", top_m: int = 8,
                        z_near: Optional[float] = None,
                        z_far: Optional[float] = None,
                        planes_per_step: Optional[int] = None,
@@ -329,8 +332,10 @@ def render_frame_sweep(net: BTSNet, variables, grid: FeatureGrid, pose_c2w,
       pose_c2w: (4, 4) novel camera; proj: (3, 3) NDC intrinsics.
       hw: (H, W) render resolution.
       warp_scale: warp-lattice resolution as a multiple of the FEATURE
-        map's (1.0 = feature resolution; None = exact per-sample fetch,
-        no warp approximation).
+        map's (= render resolution for the monodepth2 scale-0 map —
+        finding 19 — so 1.0 is an identity lattice; 0.5 is the shipped
+        default, 28.4 ms/frame at equal-or-better PSNR on both converged
+        families; None = exact per-sample fetch, no warp approximation).
       z_near/z_far: ladder bounds (default: the net's).
       mesh: optional (data, rays) Mesh — the render-resolution ray axis
         shards over the `rays` axis (rays are embarrassingly parallel;

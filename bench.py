@@ -324,22 +324,33 @@ def bench_nvs_frames():
     cfg64 = renderer_lib.RendererConfig(n_coarse=N_COARSE, lindisp=True,
                                         hard_alpha_cap=True)
 
-    def sweep_frame(v, g, pose, n):
-        def body(i, acc):
-            o = render_frame_sweep(
-                net, v, g, pose.at[0, 3].add(acc * 1e-12), projs[0, 0],
-                (H, W), cfg64, warp_scale=1.0, mlp_at_warp=True,
-                color_mode="topm")
-            c = o["coarse"]
-            return (acc + jnp.sum(c["rgb"].astype(jnp.float32))
-                    + jnp.sum(c["depth"]))
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    def make_sweep_frame(warp_scale):
+        def sweep_frame(v, g, pose, n):
+            def body(i, acc):
+                o = render_frame_sweep(
+                    net, v, g, pose.at[0, 3].add(acc * 1e-12), projs[0, 0],
+                    (H, W), cfg64, warp_scale=warp_scale, mlp_at_warp=True,
+                    color_mode="topm")
+                c = o["coarse"]
+                return (acc + jnp.sum(c["rgb"].astype(jnp.float32))
+                        + jnp.sum(c["depth"]))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return sweep_frame
 
-    t2 = marginal_time(jax.jit(sweep_frame), (variables, grid, novel), 2, 12)
+    # warp 0.5 is the shipped sweep default (PERF.md finding 19: the
+    # scale-0 feature map is at render resolution, so warp 1.0 is an
+    # identity lattice with no gather reduction); 0.25 is the
+    # speed-of-light point, accuracy-checked on both converged families.
+    t2 = marginal_time(jax.jit(make_sweep_frame(0.5)),
+                       (variables, grid, novel), 2, 12)
     out["nvs_frame_ms_sweep_64"] = round(t2 * 1e3, 2)
+    t3 = marginal_time(jax.jit(make_sweep_frame(0.25)),
+                       (variables, grid, novel), 2, 12)
+    out["nvs_frame_ms_sweep_64_w025"] = round(t3 * 1e3, 2)
     out["nvs_frame_unit"] = ("ms per full 192x640 novel-view frame, 1 chip "
                              "(general = shipped 24+16 fine_reuse profile; "
-                             "sweep = models/sweep.py K=64 deterministic)")
+                             "sweep = models/sweep.py K=64 deterministic, "
+                             "warp 0.5 default / 0.25 fast)")
     return out
 
 

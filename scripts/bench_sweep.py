@@ -106,6 +106,55 @@ def isolate():
               f"{H * W / t / 1e6:6.2f} M rays/s", flush=True)
 
 
+def warp_grid():
+    """The warp-lattice resolution grid. The flagship monodepth2 encoder's
+    scale-0 feature map is at FULL render resolution (192x640) — so
+    warp_scale=1.0 is an identity lattice (no gather reduction at all;
+    measured at general-path-minus-one-view speed) and the actual
+    structural win starts at 0.5."""
+    from behindthescenes_tpu import renderer as renderer_lib
+    from behindthescenes_tpu.models.bts import BTSNet
+
+    net, variables, images, poses, projs = flagship_setup()
+    print("feature map:", tuple(jax.eval_shape(
+        lambda v, im: net.apply(v, im, projs, poses, ids_encoder=[0],
+                                ids_render=[0], method=BTSNet.encode),
+        variables, images).features[0].shape), flush=True)
+    grid = jax.jit(lambda v, im: net.apply(
+        v, im, projs, poses, ids_encoder=[0], ids_render=[0],
+        method=BTSNet.encode))(variables, images)
+    novel = jnp.eye(4).at[0, 3].set(0.25).at[1, 3].set(-0.05)
+    proj = projs[0, 0]
+    cfg = renderer_lib.RendererConfig(n_coarse=N_COARSE, lindisp=True,
+                                      hard_alpha_cap=True)
+    variants = [
+        ("w0.5 mlpwarp topm8 pps16", dict(warp_scale=0.5, mlp_at_warp=True,
+                                          color_mode="topm",
+                                          planes_per_step=16)),
+        ("w0.5 mlpwarp topm8 pps8", dict(warp_scale=0.5, mlp_at_warp=True,
+                                         color_mode="topm",
+                                         planes_per_step=8)),
+        ("w0.5 mlpwarp topm8 pps32", dict(warp_scale=0.5, mlp_at_warp=True,
+                                          color_mode="topm",
+                                          planes_per_step=32)),
+        ("w0.5 mlpwarp none pps16", dict(warp_scale=0.5, mlp_at_warp=True,
+                                         color_mode="none",
+                                         planes_per_step=16)),
+        ("w0.25 mlpwarp topm8 pps16", dict(warp_scale=0.25,
+                                           mlp_at_warp=True,
+                                           color_mode="topm",
+                                           planes_per_step=16)),
+        ("w0.5 fullmlp topm8 pps8", dict(warp_scale=0.5, mlp_at_warp=False,
+                                         color_mode="topm",
+                                         planes_per_step=8)),
+    ]
+    for tag, kw in variants:
+        fn, args = build(net, variables, grid, novel, proj, cfg, **kw)
+        t = marginal_time(fn, args, 2, 12)
+        print(f"sweep K=64 {tag:28s}: {t * 1e3:7.2f} ms = "
+              f"{H * W / t / 1e6:6.2f} M rays/s", flush=True)
+
+
 def main(quick=False):
     from behindthescenes_tpu import renderer as renderer_lib
     from behindthescenes_tpu.models.bts import BTSNet
@@ -146,5 +195,7 @@ def main(quick=False):
 if __name__ == "__main__":
     if "--isolate" in sys.argv:
         isolate()
+    elif "--warp" in sys.argv:
+        warp_grid()
     else:
         main(quick="--quick" in sys.argv)

@@ -143,7 +143,9 @@ def test_sweep_evaluator_integration():
     cfg = rlib.RendererConfig(n_coarse=K, lindisp=True, hard_alpha_cap=True)
 
     ev_gen = NVSEvaluator(BTSNet.from_conf(MC), cfg, MC)
-    mc_sweep = dict(MC, nvs_sweep={"warp_scale": 1.0, "color_mode": "topm"})
+    # nvs_sweep: true exercises the SHIPPED defaults (warp 0.5,
+    # mlp_at_warp, top-M colors — the configuration the eval CLI runs).
+    mc_sweep = dict(MC, nvs_sweep=True)
     ev_sweep = NVSEvaluator(BTSNet.from_conf(mc_sweep), cfg, mc_sweep)
 
     p_gen = ev_gen.evaluate(variables, batch)["psnr"]
