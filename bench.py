@@ -444,6 +444,18 @@ def main():
     except Exception as e:                      # noqa: BLE001
         extra["train_fast_samples_per_sec_error"] = repr(e)[:200]
 
+    # Tile-region dense fetch applied to the SAME 64-flat step (exact
+    # within-region bilinear, full sampling semantics — PERF.md finding
+    # 18; opt-in via model_conf.tile_fetch_region).
+    try:
+        from bench_train import measure as _tmeasure2
+        _, tiles_sps, tiles_desc = _tmeasure2(8, "kitti_raw_tiles")
+        extra["train_tiles_samples_per_sec"] = round(tiles_sps, 1)
+        extra["train_tiles_unit"] = (f"training samples/s ({tiles_desc}, "
+                                     "tile_fetch_region 16x64), 1 chip")
+    except Exception as e:                      # noqa: BLE001
+        extra["train_tiles_samples_per_sec_error"] = repr(e)[:200]
+
     try:
         nvs = bench_nvs_frames()
         extra.update(nvs)
